@@ -28,3 +28,6 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+from newsched_tpu.runtime.block import Block, Port, SyncBlock, param  # noqa: F401
+from newsched_tpu.runtime.graph import Flowgraph, Graph, HierBlock  # noqa: F401

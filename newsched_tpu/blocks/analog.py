@@ -1,0 +1,143 @@
+"""Analog blocks — reference blocklib/analog: sig_source, noise_source,
+agc, quadrature_demod. Waveform generation uses the exact fixed-point NCO
+(ops/nco.py), so multi-hour streams keep phase exactly."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import newsched_tpu.ops.agc as agc_ops
+import newsched_tpu.ops.analog as analog_ops
+from newsched_tpu.ops import nco
+from newsched_tpu.runtime.block import Block, SyncBlock
+from newsched_tpu.utils.dtypes import port_dtype
+
+
+class sig_source(Block):
+    """Tone/waveform source (reference analog::sig_source<T>): sin, cos,
+    complex exponential, square, triangle, sawtooth at exact NCO phase.
+
+    frequency/amplitude/offset are runtime-settable parameters; waveform and
+    dtype are compile-time.
+    """
+
+    WAVEFORMS = ("cos", "sin", "complex", "square", "triangle", "saw")
+
+    def __init__(self, sampling_freq: float, waveform: str = "complex",
+                 frequency: float = 1000.0, amplitude: float = 1.0,
+                 offset: float = 0.0, dtype="cf32", name=None):
+        super().__init__(name)
+        if waveform not in self.WAVEFORMS:
+            raise ValueError(f"waveform {waveform!r} not in {self.WAVEFORMS}")
+        self.waveform = waveform
+        self.sampling_freq = float(sampling_freq)
+        d = port_dtype(dtype)
+        self.dtype = d
+        self.add_output("out", d)
+        self.declare_param("dphase", nco.freq_to_dphase(frequency, sampling_freq),
+                           dtype=np.uint32, doc="per-sample phase increment")
+        self.declare_param("amplitude", amplitude, dtype=np.float32)
+        self.declare_param("offset", offset,
+                           dtype=d.np_dtype if d.name != "cf32" else np.complex64)
+
+    def set_frequency(self, freq: float) -> None:
+        self.set_param("dphase", nco.freq_to_dphase(freq, self.sampling_freq))
+
+    def init_state(self, nin, nout):
+        return {"phase": jnp.zeros((), jnp.uint32)}
+
+    def work(self, state, ins, params, nout):
+        ph0, dp = state["phase"], params["dphase"]
+        phase = nco.nco_phase(ph0, dp, nout)
+        a = params["amplitude"]
+        if self.waveform == "complex":
+            y = nco.jax_complex(jnp.cos(phase), jnp.sin(phase)) * a.astype(jnp.complex64)
+        elif self.waveform == "cos":
+            y = jnp.cos(phase) * a
+        elif self.waveform == "sin":
+            y = jnp.sin(phase) * a
+        elif self.waveform == "square":
+            y = jnp.where(phase < jnp.pi, a, -a)
+        elif self.waveform == "triangle":
+            t = phase / (2 * jnp.pi)
+            y = a * (4 * jnp.abs(t - 0.5) - 1.0)
+        else:  # saw
+            y = a * (phase / jnp.pi - 1.0)
+        y = (y + params["offset"]).astype(self.dtype.jnp_dtype)
+        return {"phase": nco.nco_advance(ph0, dp, nout)}, {"out": y}
+
+
+class noise_source(Block):
+    """Gaussian/uniform noise (reference analog::noise_source<T>); counter-
+    based threefry PRNG keeps the stream reproducible and batch-invariant."""
+
+    def __init__(self, noise_type: str = "gaussian", amplitude: float = 1.0,
+                 seed: int = 0, dtype="cf32", name=None):
+        super().__init__(name)
+        self.noise_type = noise_type
+        self.seed = seed
+        self.dtype = port_dtype(dtype)
+        self.add_output("out", self.dtype)
+        self.declare_param("amplitude", amplitude, dtype=np.float32)
+
+    def init_state(self, nin, nout):
+        return {"key": jax.random.PRNGKey(self.seed)}
+
+    def work(self, state, ins, params, nout):
+        key, sub = jax.random.split(state["key"])
+        a = params["amplitude"]
+        complex_out = self.dtype.name == "cf32"
+        shape = (nout, 2) if complex_out else (nout,)
+        if self.noise_type == "gaussian":
+            r = jax.random.normal(sub, shape, dtype=jnp.float32)
+        else:
+            r = jax.random.uniform(sub, shape, dtype=jnp.float32, minval=-1.0, maxval=1.0)
+        if complex_out:
+            # Match the reference: each of I/Q gets a full-amplitude draw.
+            y = nco.jax_complex(r[:, 0], r[:, 1]) * a.astype(jnp.complex64)
+        else:
+            y = (r * a).astype(self.dtype.jnp_dtype)
+        return {"key": key}, {"out": y}
+
+
+class agc(SyncBlock):
+    """AGC (reference analog::agc_cc/_ff) via the parallel-scan kernel."""
+
+    def __init__(self, rate: float = 1e-4, reference: float = 1.0,
+                 gain: float = 1.0, max_gain: float = 0.0, dtype="cf32", name=None):
+        super().__init__(name)
+        d = port_dtype(dtype)
+        self.add_input("in", d)
+        self.add_output("out", d)
+        self.initial_gain = gain
+        self.max_gain = max_gain
+        self.declare_param("rate", rate, dtype=np.float32)
+        self.declare_param("reference", reference, dtype=np.float32)
+
+    def init_state(self, nin, nout):
+        return agc_ops.agc_init_state(self.initial_gain)
+
+    def work(self, state, ins, params, nout):
+        st, y = agc_ops.agc(state, ins["in"], params["rate"], params["reference"],
+                            self.max_gain)
+        return st, {"out": y}
+
+
+class quadrature_demod(Block):
+    """FM discriminator (reference analog::quadrature_demod): cf32 -> rf32,
+    y[n] = gain * arg(conj(x[n-1]) x[n])."""
+
+    def __init__(self, gain: float = 1.0, name=None):
+        super().__init__(name)
+        self.add_input("in", "cf32")
+        self.add_output("out", "rf32")
+        self.declare_param("gain", gain, dtype=np.float32)
+
+    def init_state(self, nin, nout):
+        return analog_ops.quad_demod_init_state()
+
+    def work(self, state, ins, params, nout):
+        st, y = analog_ops.quadrature_demod(state, ins["in"], params["gain"])
+        return st, {"out": y}

@@ -134,8 +134,11 @@ def _toeplitz_taps(taps_rev: np.ndarray | jax.Array, frame: int, decim: int) -> 
     return jnp.asarray(H)
 
 
-def _mxu_fir(xfull: jax.Array, taps_rev: jax.Array, n_out: int, decim: int) -> jax.Array:
-    """Toeplitz-matmul FIR. xfull includes the ntaps-1 halo at the front."""
+def _mxu_fir(xfull: jax.Array, taps_np: np.ndarray, n_out: int, decim: int) -> jax.Array:
+    """Toeplitz-matmul FIR. xfull includes the ntaps-1 halo at the front.
+    taps_np must be a host (static) array — the tap matrix is built at trace
+    time."""
+    taps_rev = np.asarray(taps_np)[::-1]
     ntaps = taps_rev.shape[0]
     frame = min(_MXU_FRAME, n_out)
     nframes = -(-n_out // frame)
@@ -147,7 +150,7 @@ def _mxu_fir(xfull: jax.Array, taps_rev: jax.Array, n_out: int, decim: int) -> j
         xfull = jnp.pad(xfull, (0, pad))
     # Frame with halo: static unrolled slices (nframes is static and modest).
     Z = jnp.stack([jax.lax.dynamic_slice(xfull, (i * stride,), (srange,)) for i in range(nframes)])
-    H = _toeplitz_taps(np.asarray(taps_rev), frame, decim)
+    H = _toeplitz_taps(taps_rev, frame, decim)
     if _is_complex(Z) and not _is_complex(H):
         planes = jnp.stack([jnp.real(Z), jnp.imag(Z)]).astype(jnp.float32)
         Y = jnp.einsum("pns,sf->pnf", planes, H.astype(jnp.float32),
@@ -244,6 +247,8 @@ def fir_filter(
 
     Returns (new_state, y) with y of length B // decim.
     """
+    taps_static = not isinstance(taps, jax.core.Tracer)
+    taps_np = np.asarray(taps) if taps_static else None
     taps = jnp.asarray(taps)
     ntaps = int(taps.shape[0])
     B = int(x.shape[0])
@@ -254,12 +259,14 @@ def fir_filter(
     if method == "auto":
         if ntaps > 384:
             method = "fft"
-        elif decim <= 4:
+        elif decim <= 4 and taps_static:
             method = "mxu"
         else:
             method = "conv"
+    if method == "mxu" and not taps_static:
+        method = "conv"  # traced taps: tap matrix can't be built at trace time
     if method == "mxu":
-        y = _mxu_fir(xfull, taps[::-1], n_out, decim)
+        y = _mxu_fir(xfull, taps_np, n_out, decim)
     elif method == "conv":
         y = _conv1d(xfull, taps[::-1], stride=decim)
         y = y[:n_out]

@@ -1,0 +1,248 @@
+"""Flowgraph compiler: rate algebra + single-step program builder.
+
+This module is what deletes the reference's scheduler (SURVEY.md §4.3): the
+entire job of schedulers/nbt/graph_executor.cc — windowing, rate matching,
+buffer sizing, notification — is solved *once, statically*:
+
+  1. Rational rate propagation assigns every block an items-per-reference-
+     item Fraction (the compile-time replacement for the runtime
+     forecast/consume/produce dance).
+  2. A batch size N is chosen as the smallest multiple of the LCM of all
+     rate denominators >= the requested size, so every edge carries a
+     compile-time-fixed integer item count.
+  3. Finite-stream bounds (head blocks, finite sources) propagate through
+     the same algebra to give exact per-sink totals and the batch count.
+  4. ``build_step`` emits the pure function (states, params) ->
+     (states, sink_outputs) that XLA compiles and fuses end-to-end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from fractions import Fraction
+from typing import Any, Callable
+
+from newsched_tpu.runtime.block import Block
+from newsched_tpu.runtime.graph import Graph
+from newsched_tpu.utils.logger import get_logger
+
+log = get_logger("compile")
+
+DEFAULT_BATCH = 1 << 16
+
+
+@dataclasses.dataclass
+class CompiledFlowgraph:
+    graph: Graph
+    order: list[Block]
+    rates: dict[str, Fraction]  # block name -> output rate (items/ref item)
+    batch_ref: int  # N: reference items per batch
+    n_in: dict[str, int]  # per-block input items per batch
+    n_out: dict[str, int]  # per-block output items per batch
+    bounds: dict[str, int | None]  # per-block total output items (None = inf)
+    leads: dict[str, int]  # per-block leading garbage items at output
+    n_batches: int | None  # None if unbounded
+    sink_totals: dict[str, int | None]  # sink block name -> total input items
+    sink_leads: dict[str, int]  # sink block name -> leading items to drop
+    step: Callable[[dict, dict], tuple[dict, dict]]
+
+    def init_states(self) -> dict[str, Any]:
+        return {
+            b.name: b.init_state(self.n_in[b.name], self.n_out[b.name]) for b in self.order
+        }
+
+    def init_params(self) -> dict[str, Any]:
+        return {b.name: b.param_leaves() for b in self.order}
+
+
+def _propagate_rates(g: Graph, order: list[Block]) -> dict[str, Fraction]:
+    rates: dict[str, Fraction] = {}
+    for b in order:
+        ins = g.in_edges(b)
+        if not ins:
+            rates[b.name] = Fraction(b.relative_rate)
+            continue
+        in_rates = {rates[e.src.name] for e in ins}
+        if len(in_rates) != 1:
+            raise ValueError(
+                f"{b.name}: input rate mismatch {sorted(in_rates)} — all inputs "
+                "of a block must run at the same rate"
+            )
+        rates[b.name] = next(iter(in_rates)) * Fraction(b.relative_rate)
+    return rates
+
+
+def _choose_batch(rates: dict[str, Fraction], requested: int | None) -> int:
+    lcm = 1
+    for r in rates.values():
+        lcm = lcm * r.denominator // math.gcd(lcm, r.denominator)
+        # also keep numerators' contribution: n_out must be integer for
+        # every block, which the denominator LCM guarantees.
+    target = requested or DEFAULT_BATCH
+    n = max(1, -(-target // lcm)) * lcm
+    return n
+
+
+def _propagate_bounds(
+    g: Graph, order: list[Block], rates: dict[str, Fraction]
+) -> dict[str, int | None]:
+    """Total output items each block will ever produce (None = unbounded).
+
+    A block's own limit comes from block.finite_items(in_bound): head
+    returns min(in_bound, max_items); finite sources return len(data);
+    default scales the tightest input bound by the rate ratio.
+    """
+    bounds: dict[str, int | None] = {}
+    for b in order:
+        ins = g.in_edges(b)
+        if ins:
+            in_bs = [bounds[e.src.name] for e in ins]
+            in_bound = None
+            for x in in_bs:
+                if x is not None:
+                    in_bound = x if in_bound is None else min(in_bound, x)
+        else:
+            in_bound = None
+        limit = getattr(b, "finite_items", None)
+        if limit is not None:
+            own = limit(in_bound)
+        elif in_bound is None:
+            own = None
+        else:
+            rr = Fraction(b.relative_rate)
+            own = int(in_bound * rr)
+        bounds[b.name] = own
+    return bounds
+
+
+def compile_flowgraph(
+    g: Graph, batch_size: int | None = None, total_items: int | None = None
+) -> CompiledFlowgraph:
+    """batch_size: requested items/batch at the reference rate (rate-1 source).
+    total_items: override stream length at the reference rate (else derived
+    from head blocks / finite sources; None with no bound = unbounded)."""
+    order = g.topo_order()
+    rates = _propagate_rates(g, order)
+    N = _choose_batch(rates, batch_size)
+    n_in: dict[str, int] = {}
+    n_out: dict[str, int] = {}
+    for b in order:
+        ins = g.in_edges(b)
+        n_in[b.name] = int(rates[ins[0].src.name] * N) if ins else 0
+        r = rates[b.name] * N
+        if r.denominator != 1:
+            raise AssertionError(f"non-integer batch for {b.name}: {r}")
+        n_out[b.name] = int(r)
+
+    bounds = _propagate_bounds(g, order, rates)
+    if total_items is not None:
+        for b in order:
+            if not g.in_edges(b):
+                cap = int(total_items * rates[b.name])
+                bounds[b.name] = cap if bounds[b.name] is None else min(bounds[b.name], cap)
+        # re-propagate downstream of the capped sources
+        bounds = _merge_bounds(g, order, rates, bounds)
+
+    # Leading-garbage propagation (blocks with lookahead latency, e.g.
+    # skiphead, declare lead_items; default scales by the rate ratio).
+    leads: dict[str, int] = {}
+    for b in order:
+        ins = g.in_edges(b)
+        in_lead = max((leads[e.src.name] for e in ins), default=0)
+        fn = getattr(b, "lead_items", None)
+        if fn is not None:
+            leads[b.name] = fn(in_lead, n_in[b.name], n_out[b.name])
+        else:
+            lr = in_lead * Fraction(b.relative_rate)
+            if lr.denominator != 1:
+                raise ValueError(f"{b.name}: lead items {lr} not integral at this rate")
+            leads[b.name] = int(lr)
+
+    sinks = [b for b in order if not b.outputs]
+    sink_totals: dict[str, int | None] = {}
+    sink_leads: dict[str, int] = {}
+    n_batches: int | None = None
+    for s in sinks:
+        ins = g.in_edges(s)
+        t = None
+        for e in ins:
+            sb = bounds[e.src.name]
+            if sb is not None:
+                t = sb if t is None else min(t, sb)
+        sink_totals[s.name] = t
+        sink_leads[s.name] = max((leads[e.src.name] for e in ins), default=0)
+        if t is not None and n_in[s.name] > 0:
+            nb = -(-(t + sink_leads[s.name]) // n_in[s.name])
+            n_batches = nb if n_batches is None else max(n_batches, nb)
+
+    step = build_step(g, order, n_out)
+    return CompiledFlowgraph(
+        graph=g,
+        order=order,
+        rates=rates,
+        batch_ref=N,
+        n_in=n_in,
+        n_out=n_out,
+        bounds=bounds,
+        leads=leads,
+        n_batches=n_batches,
+        sink_totals=sink_totals,
+        sink_leads=sink_leads,
+        step=step,
+    )
+
+
+def _merge_bounds(g, order, rates, seeded):
+    bounds = dict(seeded)
+    for b in order:
+        ins = g.in_edges(b)
+        if not ins:
+            continue
+        in_bound = None
+        for e in ins:
+            x = bounds[e.src.name]
+            if x is not None:
+                in_bound = x if in_bound is None else min(in_bound, x)
+        limit = getattr(b, "finite_items", None)
+        if limit is not None:
+            own = limit(in_bound)
+        elif in_bound is None:
+            own = bounds[b.name]
+        else:
+            own = int(in_bound * Fraction(b.relative_rate))
+            if bounds[b.name] is not None:
+                own = min(own, bounds[b.name])
+        bounds[b.name] = own
+    return bounds
+
+
+def build_step(g: Graph, order: list[Block], n_out: dict[str, int]):
+    """Emit the pure per-batch function. Sinks (no stream outputs) return a
+    per-batch collected pytree under their name (None to collect nothing).
+
+    ``host_ins`` maps the name of each host-ingest block (one defining
+    host_pull, e.g. file_source) to its staged batch; it appears to that
+    block's work as the pseudo input port "host_in"."""
+
+    def step(states: dict, params: dict, host_ins: dict | None = None):
+        host_ins = host_ins or {}
+        vals: dict[tuple[str, str], Any] = {}
+        new_states = dict(states)
+        sink_out: dict[str, Any] = {}
+        for b in order:
+            ins = {e.dst_port: vals[(e.src.name, e.src_port)] for e in g.in_edges(b)}
+            if b.name in host_ins:
+                ins["host_in"] = host_ins[b.name]
+            st, outs = b.work(states[b.name], ins, params[b.name], n_out[b.name])
+            new_states[b.name] = st
+            if b.outputs:
+                for p in b.outputs:
+                    if p.name not in outs:
+                        raise KeyError(f"{b.name}.work missing output {p.name!r}")
+                    vals[(b.name, p.name)] = outs[p.name]
+            elif outs is not None:
+                sink_out[b.name] = outs
+        return new_states, sink_out
+
+    return step

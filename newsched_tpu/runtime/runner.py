@@ -1,0 +1,202 @@
+"""Execution engine: runs a compiled flowgraph to completion.
+
+The runtime successor of the reference's scheduler start/wait machinery and
+flowgraph_monitor (SURVEY.md §3.2): where nbt spun one thread per block
+group and coordinated DONE/FLUSH/EXIT messages, this runner executes the
+single compiled step function in one of two modes:
+
+- **scan mode** (default when every block is device-pure): the whole
+  bounded stream runs as one ``lax.scan`` on device — zero host round
+  trips, XLA pipelines everything. Unbounded-with-scan is chunked.
+- **loop mode** (host IO / throttle / live control): a Python loop calls the
+  jitted step per batch with donated state, dispatching asynchronously so
+  host work overlaps device compute; between batches it drains the message
+  queue and rebinds changed parameters (the analog of the reference's
+  per-thread concurrent_queue draining).
+
+Shutdown protocol: the reference's DONE -> FLUSH -> EXIT dance collapses to
+arithmetic — the compiler knows each sink's exact total, the runner runs
+exactly ``n_batches`` steps and trims each sink's final partial batch.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+import time
+from typing import Any
+
+import jax
+import numpy as np
+
+from newsched_tpu.runtime.compile import compile_flowgraph
+from newsched_tpu.utils.logger import get_logger
+
+log = get_logger("runner")
+
+
+class Runner:
+    def __init__(self, fg, batch_size: int | None = None, mesh=None,
+                 total_items: int | None = None):
+        self.fg = fg
+        self.mesh = mesh
+        self.cfg = compile_flowgraph(fg, batch_size=batch_size, total_items=total_items)
+        self._msg_queue: collections.deque = collections.deque()
+        self._dirty_params: set[str] = set()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._has_host_io = any(getattr(b, "host_io", False) for b in self.cfg.order)
+        self._has_pacing = any(getattr(b, "pacing", None) for b in self.cfg.order)
+        self._jit_step = jax.jit(self.cfg.step, donate_argnums=(0,))
+
+    # -- control plane ---------------------------------------------------
+    def invalidate_params(self, block) -> None:
+        self._dirty_params.add(block.name)
+
+    def enqueue_msg(self, block, port: str, msg: Any) -> None:
+        self._msg_queue.append((block, port, msg))
+
+    def _drain_msgs(self) -> None:
+        while self._msg_queue:
+            block, port, msg = self._msg_queue.popleft()
+            block._msg_handlers[port](msg)
+
+    def request_stop(self) -> None:
+        self._stop.set()
+
+    # -- execution -------------------------------------------------------
+    def run_to_completion(self) -> None:
+        for b in self.cfg.order:
+            b._runtime = self
+            b.start()
+        try:
+            if self.cfg.n_batches is None:
+                raise ValueError(
+                    "flowgraph is unbounded: add a head block, a finite source, "
+                    "or pass total_items (or use start()/stop() for live runs)"
+                )
+            use_scan = not (self._has_host_io or self._has_pacing
+                            or self._msg_queue or self.cfg.n_batches < 2)
+            if use_scan:
+                self._run_scan(self.cfg.n_batches)
+            else:
+                self._run_loop(self.cfg.n_batches)
+        finally:
+            for b in self.cfg.order:
+                b.stop()
+                b._runtime = None
+
+    def _run_scan(self, n_batches: int) -> None:
+        step = self.cfg.step
+
+        def scan_fn(states, _):
+            new_states, sink_out = step(states, params)
+            return new_states, sink_out
+
+        params = self.cfg.init_params()
+        states = self.cfg.init_states()
+
+        @jax.jit
+        def run_all(states):
+            return jax.lax.scan(scan_fn, states, xs=None, length=n_batches)
+
+        final_states, stacked = run_all(states)
+        jax.block_until_ready(stacked)
+        self._deliver_stacked(stacked, n_batches)
+
+    def _run_loop(self, n_batches: int) -> None:
+        params = self.cfg.init_params()
+        states = self.cfg.init_states()
+        per_sink: dict[str, list] = {name: [] for name in self.cfg.sink_totals}
+        pullers = [b for b in self.cfg.order if hasattr(b, "host_pull")]
+        t0 = time.monotonic()
+        items_done = 0
+        for i in range(n_batches):
+            if self._stop.is_set():
+                break
+            self._drain_msgs()
+            if self._dirty_params:
+                for name in self._dirty_params:
+                    blk = next(b for b in self.cfg.order if b.name == name)
+                    params[name] = blk.param_leaves()
+                self._dirty_params.clear()
+            host_ins = {b.name: b.host_pull(self.cfg.n_out[b.name]) for b in pullers}
+            states, sink_out = self._jit_step(states, params, host_ins)
+            for name, v in sink_out.items():
+                per_sink[name].append(v)
+            items_done += self.cfg.batch_ref
+            self._pace(items_done, t0)
+        jax.block_until_ready(states)
+        self._deliver_batches(per_sink)
+
+    def _pace(self, items_done: int, t0: float) -> None:
+        if not self._has_pacing:
+            return
+        rates = [b.pacing for b in self.cfg.order if getattr(b, "pacing", None)]
+        target = items_done / min(rates)
+        dt = target - (time.monotonic() - t0)
+        if dt > 0:
+            time.sleep(dt)
+
+    # -- delivery --------------------------------------------------------
+    def _trim(self, b, collected):
+        """Drop leading garbage and the final partial batch's padding for
+        stream-collecting sinks (the compiler's exact-totals arithmetic)."""
+        if not getattr(b, "collect_is_stream", True):
+            return collected
+        lead = self.cfg.sink_leads.get(b.name, 0)
+        total = self.cfg.sink_totals.get(b.name)
+        end = None if total is None else lead + total
+        return jax.tree_util.tree_map(lambda a: a[lead:end], collected)
+
+    def _deliver_stacked(self, stacked: dict[str, Any], n_batches: int) -> None:
+        for b in self.cfg.order:
+            if b.name in stacked:
+                total = self.cfg.sink_totals.get(b.name)
+                b.finalize(self._trim(b, _unstack_to_host(stacked[b.name])), total)
+
+    def _deliver_batches(self, per_sink: dict[str, list]) -> None:
+        for b in self.cfg.order:
+            if b.name in per_sink and per_sink[b.name]:
+                total = self.cfg.sink_totals.get(b.name)
+                b.finalize(self._trim(b, _transpose(per_sink[b.name])), total)
+
+    # -- async (start/wait) ---------------------------------------------
+    def start_async(self) -> None:
+        self._thread = threading.Thread(target=self._async_body, daemon=True)
+        self._thread.start()
+
+    def _async_body(self) -> None:
+        try:
+            n = self.cfg.n_batches
+            if n is None:
+                n = 1 << 62  # run until stop()
+            self._run_loop(n)
+        except Exception:  # surfaced on wait()
+            import traceback
+
+            self._exc = traceback.format_exc()
+            log.error("runner thread failed:\n%s", self._exc)
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+            if getattr(self, "_exc", None):
+                raise RuntimeError(f"flowgraph execution failed:\n{self._exc}")
+
+
+def _unstack_to_host(tree):
+    """Stacked scan output pytree (leading n_batches axis on every leaf) ->
+    same pytree on host with batches flattened into the leading axis."""
+    leaves = jax.device_get(tree)
+    return jax.tree_util.tree_map(lambda a: np.reshape(np.asarray(a), (-1,) + a.shape[2:]),
+                                  leaves)
+
+
+def _transpose(batches: list):
+    """List of per-batch pytrees -> pytree of concatenated leaves."""
+    if not batches:
+        return batches
+    return jax.tree_util.tree_map(lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
+                                  *batches)

@@ -1,0 +1,195 @@
+"""Runtime core tests: graph construction, rate algebra, end-to-end
+flowgraphs (the reference's runtime/test + schedulers/nbt/test analogs)."""
+
+import numpy as np
+import pytest
+import scipy.signal as sig
+
+from newsched_tpu import Flowgraph
+from newsched_tpu.blocks import analog, filter as filt, general, math as gmath, streamops
+from newsched_tpu.ops import firdes
+from tests.test_ops_fir import snr_db, _rand_complex
+
+
+def test_vector_source_to_sink_roundtrip():
+    data = _rand_complex(1000)
+    fg = Flowgraph(batch_size=256)
+    src = general.vector_source(data)
+    snk = general.vector_sink()
+    fg.connect(src, 0, snk, 0)
+    fg.run()
+    assert np.array_equal(snk.data(), data)
+
+
+def test_copy_chain_and_checksum():
+    data = _rand_complex(512)
+    fg = Flowgraph(batch_size=128)
+    src = general.vector_source(data)
+    c1, c2 = general.copy(), general.copy()
+    snk = general.vector_sink()
+    fg.connect(src, 0, c1, 0)
+    fg.connect(c1, 0, c2, 0)
+    fg.connect(c2, 0, snk, 0)
+    fg.run()
+    assert np.array_equal(snk.data(), data)
+
+
+def test_head_bounds_infinite_source():
+    fg = Flowgraph(batch_size=64)
+    src = general.null_source(dtype="rf32")
+    hd = general.head(200, dtype="rf32")
+    snk = general.vector_sink(dtype="rf32")
+    fg.connect(src, 0, hd, 0)
+    fg.connect(hd, 0, snk, 0)
+    fg.run()
+    assert snk.data().shape == (200,)
+
+
+def test_config0_fir_chain_matches_scipy():
+    """BASELINE config #0 shape: sig_source -> 128-tap FIR lowpass -> head
+    -> sink (small N here; full 10M in bench.py)."""
+    fs = 1e6
+    taps = firdes.low_pass(1.0, fs, 0.2e6, 0.05e6, ntaps=128)
+    n = 50_000
+    fg = Flowgraph(batch_size=8192)
+    src = analog.sig_source(fs, "complex", frequency=123_456.0, amplitude=1.0)
+    fir = filt.fir_filter(taps)
+    hd = general.head(n)
+    snk = general.vector_sink()
+    fg.connect(src, 0, fir, 0)
+    fg.connect(fir, 0, hd, 0)
+    fg.connect(hd, 0, snk, 0)
+    fg.run()
+    y = snk.data()
+    assert y.shape == (n,)
+    # scipy reference on the identical NCO tone
+    from newsched_tpu.ops import nco
+    import jax.numpy as jnp
+
+    dp = nco.freq_to_dphase(123_456.0, fs)
+    nb = -(-n // 8192) * 8192
+    tone = np.asarray(nco.nco_cexp(jnp.uint32(0), jnp.uint32(dp), nb))[: n + 127]
+    ref = sig.lfilter(taps.astype(np.float64), [1.0], tone.astype(np.complex128))[:n]
+    assert snr_db(ref, y) > 80
+
+
+def test_rate_chain_decimator():
+    data = _rand_complex(4096)
+    taps = firdes.low_pass(1.0, 1.0, 0.1, 0.05, ntaps=64)
+    fg = Flowgraph(batch_size=1024)
+    src = general.vector_source(data)
+    fir = filt.fir_filter(taps, decim=4)
+    snk = general.vector_sink()
+    fg.connect(src, 0, fir, 0)
+    fg.connect(fir, 0, snk, 0)
+    fg.run()
+    y = snk.data()
+    assert y.shape == (1024,)
+    ref = sig.lfilter(taps.astype(np.float64), [1.0], data.astype(np.complex128))[::4]
+    assert snr_db(ref, y) > 90
+
+
+def test_multi_input_add_and_params():
+    a = _rand_complex(512, seed=1)
+    b = _rand_complex(512, seed=2)
+    fg = Flowgraph(batch_size=128)
+    sa, sb = general.vector_source(a), general.vector_source(b)
+    adder = gmath.add(2)
+    mc = gmath.multiply_const(2.0 + 0j, dtype="cf32")
+    snk = general.vector_sink()
+    fg.connect(sa, 0, adder, 0)
+    fg.connect(sb, 0, adder, 1)
+    fg.connect(adder, 0, mc, 0)
+    fg.connect(mc, 0, snk, 0)
+    fg.run()
+    assert snr_db((a + b) * 2.0, snk.data()) > 120
+
+
+def test_port_type_mismatch_rejected():
+    fg = Flowgraph()
+    src = general.null_source(dtype="rf32")
+    snk = general.null_sink(dtype="cf32")
+    with pytest.raises(TypeError, match="mismatch"):
+        fg.connect(src, 0, snk, 0)
+
+
+def test_unconnected_input_rejected():
+    fg = Flowgraph(batch_size=64)
+    src = general.null_source()
+    adder = gmath.add(2)
+    snk = general.null_sink()
+    fg.connect(src, 0, adder, 0)
+    fg.connect(adder, 0, snk, 0)
+    with pytest.raises(ValueError, match="unconnected"):
+        fg.run()
+
+
+def test_unbounded_graph_rejected():
+    fg = Flowgraph(batch_size=64)
+    src = general.null_source()
+    snk = general.null_sink()
+    fg.connect(src, 0, snk, 0)
+    with pytest.raises(ValueError, match="unbounded"):
+        fg.run()
+
+
+def test_rate_mismatch_rejected():
+    fg = Flowgraph(batch_size=64)
+    src = general.null_source()
+    d = streamops.keep_one_in_n(2)
+    adder = gmath.add(2)
+    snk = general.null_sink()
+    fg.connect(src, 0, d, 0)
+    fg.connect(src, 0, adder, 0)
+    fg.connect(d, 0, adder, 1)
+    fg.connect(adder, 0, snk, 0)
+    with pytest.raises(ValueError, match="rate mismatch"):
+        fg.run()
+
+
+def test_fanout_two_sinks():
+    data = _rand_complex(256)
+    fg = Flowgraph(batch_size=64)
+    src = general.vector_source(data)
+    s1, s2 = general.vector_sink(), general.vector_sink()
+    c = general.copy()
+    fg.connect(src, 0, c, 0)
+    fg.connect(c, 0, s1, 0)
+    fg.connect(c, 0, s2, 0)
+    fg.run()
+    assert np.array_equal(s1.data(), data)
+    assert np.array_equal(s2.data(), data)
+
+
+def test_null_sink_checksum_keeps_chain_alive():
+    fg = Flowgraph(batch_size=128)
+    src = general.vector_source(np.ones(512, np.complex64))
+    snk = general.null_sink()
+    fg.connect(src, 0, snk, 0)
+    fg.run()
+    assert snk.checksum == pytest.approx(512.0)
+
+
+def test_skiphead():
+    data = np.arange(1000, dtype=np.float32)
+    fg = Flowgraph(batch_size=128)
+    src = general.vector_source(data, dtype="rf32")
+    sk = streamops.skiphead(100, dtype="rf32")
+    snk = general.vector_sink(dtype="rf32")
+    fg.connect(src, 0, sk, 0)
+    fg.connect(sk, 0, snk, 0)
+    fg.run()
+    assert np.array_equal(snk.data(), data[100:])
+
+
+def test_delay():
+    data = np.arange(256, dtype=np.float32)
+    fg = Flowgraph(batch_size=64)
+    src = general.vector_source(data, dtype="rf32")
+    dl = streamops.delay(10, dtype="rf32")
+    snk = general.vector_sink(dtype="rf32")
+    fg.connect(src, 0, dl, 0)
+    fg.connect(dl, 0, snk, 0)
+    fg.run()
+    expect = np.concatenate([np.zeros(10, np.float32), data])[:256]
+    assert np.array_equal(snk.data(), expect)
