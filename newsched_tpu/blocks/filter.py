@@ -43,7 +43,7 @@ class fir_filter(Block):
         return fir_ops.fir_init_state(len(self.taps), dtype=self.dtype.jnp_dtype)
 
     def work(self, state, ins, params, nout):
-        st, y = fir_ops.fir_filter(jnp.asarray(self.taps), state, ins["in"],
+        st, y = fir_ops.fir_filter(self.taps, state, ins["in"],
                                    decim=self.decim, method=self.method)
         return st, {"out": y}
 
@@ -77,7 +77,7 @@ class freq_xlating_fir(Block):
 
     def work(self, state, ins, params, nout):
         rot_st, xr = analog_ops.rotate(state["rot"], ins["in"], params["dphase"], conj=True)
-        fir_st, y = fir_ops.fir_filter(jnp.asarray(self.taps), state["fir"], xr,
+        fir_st, y = fir_ops.fir_filter(self.taps, state["fir"], xr,
                                        decim=self.decim, method=self.method)
         return {"rot": rot_st, "fir": fir_st}, {"out": y}
 
@@ -102,7 +102,7 @@ class iir_filter(Block):
     def work(self, state, ins, params, nout):
         from newsched_tpu.ops import iir as iir_ops
 
-        st, y = iir_ops.iir_filter(jnp.asarray(self.ff), jnp.asarray(self.fb), state, ins["in"])
+        st, y = iir_ops.iir_filter(self.ff, self.fb, state, ins["in"])
         return st, {"out": y}
 
 
@@ -125,7 +125,7 @@ class fft_filter(Block):
         return fir_ops.fir_init_state(len(self.taps), dtype=self.dtype.jnp_dtype)
 
     def work(self, state, ins, params, nout):
-        st, y = fir_ops.fir_filter(jnp.asarray(self.taps), state, ins["in"],
+        st, y = fir_ops.fir_filter(self.taps, state, ins["in"],
                                    decim=self.decim, method="fft")
         return st, {"out": y}
 
@@ -152,7 +152,7 @@ class moving_average(Block):
         return fir_ops.fir_init_state(self.length, dtype=self.dtype.jnp_dtype)
 
     def work(self, state, ins, params, nout):
-        st, y = fir_ops.fir_filter(jnp.asarray(self.taps), state, ins["in"],
+        st, y = fir_ops.fir_filter(self.taps, state, ins["in"],
                                    decim=self.decim, method="conv")
         return st, {"out": y}
 
@@ -184,7 +184,7 @@ class rational_resampler(Block):
                                             dtype=self.dtype.jnp_dtype)
 
     def work(self, state, ins, params, nout):
-        st, y = fir_ops.fir_interp_filter(jnp.asarray(self.taps), state, ins["in"],
+        st, y = fir_ops.fir_interp_filter(self.taps, state, ins["in"],
                                           self.interp, self.decim)
         return st, {"out": y}
 
@@ -212,7 +212,7 @@ class pfb_channelizer(Block):
         return pfb_ops.pfb_init_state(self.arm_taps.size, dtype=jnp.complex64)
 
     def work(self, state, ins, params, nout):
-        st, Y = pfb_ops.pfb_channelize(jnp.asarray(self.arm_taps), state, ins["in"])
+        st, Y = pfb_ops.pfb_channelize(self.arm_taps, state, ins["in"])
         return st, {"out": Y}
 
 
@@ -238,6 +238,6 @@ class pfb_decimator(Block):
         return pfb_ops.pfb_init_state(self.arm_taps.size, dtype=jnp.complex64)
 
     def work(self, state, ins, params, nout):
-        st, y = pfb_ops.pfb_decimate(jnp.asarray(self.arm_taps), state, ins["in"],
+        st, y = pfb_ops.pfb_decimate(self.arm_taps, state, ins["in"],
                                      self.channel)
         return st, {"out": y}

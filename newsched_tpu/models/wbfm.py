@@ -1,0 +1,108 @@
+"""Flagship models: the BASELINE.json benchmark flowgraphs.
+
+- fir_chain        — config #0: sig_source -> 128-tap FIR lowpass -> head
+- wbfm_receiver    — config #1: freq_xlating_fir -> quadrature_demod ->
+                     rational_resampler (broadcast-FM receive chain)
+- fm_channelizer   — configs #2/#4: pfb_channelizer -> per-channel FM demod
+                     -> per-channel audio FIR decimation
+
+Each returns (Flowgraph, dict of interesting blocks). The channelizer model
+is also exposed as a bare step function for the sharded/benchmark paths
+(models.wbfm.channelizer_step) so bench.py and parallel/ reuse the exact
+same math the graph runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from newsched_tpu.blocks import analog, filter as filt, general
+from newsched_tpu.blocks import vector_dsp
+from newsched_tpu.ops import firdes
+from newsched_tpu.runtime.graph import Flowgraph
+
+
+def fir_chain(n_samples: int = 10_000_000, fs: float = 1e6, ntaps: int = 128,
+              frequency: float = 123_456.0, batch_size: int | None = None,
+              sink: str = "null"):
+    """Config #0: signal_source -> FIR lowpass(ntaps) -> head -> sink."""
+    taps = firdes.low_pass(1.0, fs, 0.2 * fs, 0.05 * fs, ntaps=ntaps)
+    fg = Flowgraph("fir_chain", batch_size=batch_size)
+    src = analog.sig_source(fs, "complex", frequency=frequency)
+    fir = filt.fir_filter(taps)
+    hd = general.head(n_samples)
+    snk = general.null_sink() if sink == "null" else general.vector_sink()
+    fg.connect(src, 0, fir, 0)
+    fg.connect(fir, 0, hd, 0)
+    fg.connect(hd, 0, snk, 0)
+    return fg, {"src": src, "fir": fir, "head": hd, "sink": snk, "taps": taps}
+
+
+def wbfm_receiver(fs: float = 1_000_000.0, center_freq: float = 200_000.0,
+                  quad_rate_decim: int = 4, audio_decim: tuple[int, int] = (1, 5),
+                  deviation: float = 75_000.0, n_samples: int | None = None,
+                  source=None, batch_size: int | None = None, sink: str = "vector"):
+    """Config #1: wideband FM receiver.
+
+    freq_xlating_fir (channel select + decimate to quad rate) ->
+    quadrature_demod -> rational_resampler (audio rate).
+    Default rates: 1 MS/s -> 250 kS/s quad -> 50 kS/s audio.
+    """
+    quad_rate = fs / quad_rate_decim
+    chan_taps = firdes.low_pass(1.0, fs, 100e3, 30e3)
+    interp, decim = audio_decim
+    fg = Flowgraph("wbfm_receiver", batch_size=batch_size)
+    if source is None:
+        source = analog.sig_source(fs, "complex", frequency=0.0)
+    xlate = filt.freq_xlating_fir(chan_taps, center_freq, fs, decim=quad_rate_decim)
+    demod = analog.quadrature_demod(gain=quad_rate / (2 * np.pi * deviation))
+    resamp = filt.rational_resampler(interp, decim, dtype="rf32")  # audio is real
+    snk = general.vector_sink(dtype="rf32") if sink == "vector" else general.null_sink(dtype="rf32")
+    fg.connect(source, 0, xlate, 0)
+    fg.connect(xlate, 0, demod, 0)
+    fg.connect(demod, 0, resamp, 0)
+    if n_samples is not None:
+        hd = general.head(n_samples, dtype="rf32")
+        fg.connect(resamp, 0, hd, 0)
+        fg.connect(hd, 0, snk, 0)
+    else:
+        fg.connect(resamp, 0, snk, 0)
+    return fg, {
+        "source": source, "xlate": xlate, "demod": demod, "resamp": resamp, "sink": snk,
+    }
+
+
+def fm_channelizer(nchans: int = 64, fs: float = 100e6, taps_per_arm: int = 16,
+                   audio_decim: int = 8, n_samples: int | None = None,
+                   source=None, batch_size: int | None = None, sink: str = "null",
+                   deviation_frac: float = 0.3):
+    """Configs #2/#4: wideband channelizer + per-channel FM demod + per-
+    channel audio decimating FIR. The headline benchmark chain.
+
+    Input: one wideband cf32 stream at fs. Output: (nchans,)-vector rf32
+    audio stream at fs / nchans / audio_decim.
+    """
+    chan_rate = fs / nchans
+    fg = Flowgraph("fm_channelizer", batch_size=batch_size)
+    if source is None:
+        source = analog.noise_source("gaussian", amplitude=0.5)
+    pfb = filt.pfb_channelizer(nchans, taps_per_arm=taps_per_arm)
+    demod = vector_dsp.vector_quad_demod(nchans, gain=1.0 / (2 * np.pi * deviation_frac))
+    audio_taps = firdes.low_pass(1.0, chan_rate, 0.4 * chan_rate / audio_decim,
+                                 0.1 * chan_rate / audio_decim)
+    audio = vector_dsp.vector_fir(nchans, audio_taps, decim=audio_decim, dtype="rf32")
+    snk = (general.null_sink(dtype="rf32", vlen=(nchans,)) if sink == "null"
+           else general.vector_sink(dtype="rf32", vlen=(nchans,)))
+    fg.connect(source, 0, pfb, 0)
+    fg.connect(pfb, 0, demod, 0)
+    fg.connect(demod, 0, audio, 0)
+    if n_samples is not None:
+        hd = general.head(n_samples, dtype="rf32", vlen=(nchans,))
+        fg.connect(audio, 0, hd, 0)
+        fg.connect(hd, 0, snk, 0)
+    else:
+        fg.connect(audio, 0, snk, 0)
+    return fg, {
+        "source": source, "pfb": pfb, "demod": demod, "audio": audio, "sink": snk,
+        "audio_taps": audio_taps,
+    }

@@ -247,7 +247,11 @@ def fir_filter(
 
     Returns (new_state, y) with y of length B // decim.
     """
-    taps_static = not isinstance(taps, jax.core.Tracer)
+    # "Static" taps (host numpy/list) allow building the Toeplitz tap matrix
+    # at trace time. Device jax Arrays are NOT treated as static even when
+    # concrete: pulling them back mid-trace is a host transfer (and the axon
+    # TPU backend rejects it outright).
+    taps_static = not isinstance(taps, jax.Array)
     taps_np = np.asarray(taps) if taps_static else None
     taps = jnp.asarray(taps)
     ntaps = int(taps.shape[0])

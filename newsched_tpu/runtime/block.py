@@ -167,15 +167,18 @@ class Block:
     def get_param(self, name: str):
         return self._param_values[name]
 
-    def param_leaves(self) -> dict[str, jnp.ndarray]:
-        """Current values as jnp leaves for the compiled step's pytree."""
+    def param_leaves(self) -> dict[str, np.ndarray]:
+        """Current values as HOST numpy leaves for the compiled step's
+        params pytree. Host-side on purpose: eager device-array creation is
+        not allowed at program boundaries (axon complex64 rule, utils/cplx)
+        and numpy leaves are free to pass as jit arguments."""
         out = {}
         for name, spec in self._param_specs.items():
             v = self._param_values[name]
             if spec.dtype is None:
                 out[name] = v
             else:
-                out[name] = jnp.asarray(v, dtype=spec.dtype)
+                out[name] = np.asarray(v, dtype=spec.dtype)
         return out
 
     # -- messages (host-side control plane) -----------------------------

@@ -30,12 +30,18 @@ import jax
 import numpy as np
 
 from newsched_tpu.runtime.compile import compile_flowgraph
+from newsched_tpu.utils import cplx
 from newsched_tpu.utils.logger import get_logger
 
 log = get_logger("runner")
 
 
 class Runner:
+    """All jit boundaries are complex-encoded (utils/cplx.py): states enter
+    and leave programs as real planes, complex parameters and sink
+    collections likewise — required by the axon TPU backend and free
+    elsewhere."""
+
     def __init__(self, fg, batch_size: int | None = None, mesh=None,
                  total_items: int | None = None):
         self.fg = fg
@@ -47,7 +53,22 @@ class Runner:
         self._thread: threading.Thread | None = None
         self._has_host_io = any(getattr(b, "host_io", False) for b in self.cfg.order)
         self._has_pacing = any(getattr(b, "pacing", None) for b in self.cfg.order)
-        self._jit_step = jax.jit(self.cfg.step, donate_argnums=(0,))
+        step = self.cfg.step
+
+        def step_enc(states_enc, params_enc, host_ins_enc):
+            ns, so = step(cplx.decode(states_enc), cplx.decode(params_enc),
+                          cplx.decode(host_ins_enc))
+            return cplx.encode(ns), cplx.encode(so)
+
+        self._jit_step = jax.jit(step_enc, donate_argnums=(0,))
+
+    def _init_states_enc(self):
+        """Build initial states ON DEVICE inside a program (eager complex
+        creation is unsupported on axon), returning encoded leaves."""
+        return jax.jit(lambda: cplx.encode(self.cfg.init_states()))()
+
+    def _params_enc(self):
+        return cplx.encode(self.cfg.init_params())
 
     # -- control plane ---------------------------------------------------
     def invalidate_params(self, block) -> None:
@@ -88,25 +109,30 @@ class Runner:
 
     def _run_scan(self, n_batches: int) -> None:
         step = self.cfg.step
-
-        def scan_fn(states, _):
-            new_states, sink_out = step(states, params)
-            return new_states, sink_out
-
-        params = self.cfg.init_params()
-        states = self.cfg.init_states()
+        params_enc = self._params_enc()
 
         @jax.jit
-        def run_all(states):
-            return jax.lax.scan(scan_fn, states, xs=None, length=n_batches)
+        def run_all(params_enc):
+            params = cplx.decode(params_enc)
 
-        final_states, stacked = run_all(states)
+            def scan_fn(states, _):
+                new_states, sink_out = step(states, params)
+                return new_states, cplx.encode(sink_out)
+
+            # States are built inside the program: complex leaves never
+            # cross the boundary; the scan carry stays internal.
+            states0 = self.cfg.init_states()
+            final, stacked = jax.lax.scan(scan_fn, states0, xs=None, length=n_batches)
+            del final
+            return stacked
+
+        stacked = run_all(params_enc)
         jax.block_until_ready(stacked)
         self._deliver_stacked(stacked, n_batches)
 
     def _run_loop(self, n_batches: int) -> None:
-        params = self.cfg.init_params()
-        states = self.cfg.init_states()
+        params = self._params_enc()
+        states = self._init_states_enc()
         per_sink: dict[str, list] = {name: [] for name in self.cfg.sink_totals}
         pullers = [b for b in self.cfg.order if hasattr(b, "host_pull")]
         t0 = time.monotonic()
@@ -118,9 +144,11 @@ class Runner:
             if self._dirty_params:
                 for name in self._dirty_params:
                     blk = next(b for b in self.cfg.order if b.name == name)
-                    params[name] = blk.param_leaves()
+                    params[name] = cplx.encode(blk.param_leaves())
                 self._dirty_params.clear()
-            host_ins = {b.name: b.host_pull(self.cfg.n_out[b.name]) for b in pullers}
+            host_ins = cplx.encode(
+                {b.name: b.host_pull(self.cfg.n_out[b.name]) for b in pullers}
+            )
             states, sink_out = self._jit_step(states, params, host_ins)
             for name, v in sink_out.items():
                 per_sink[name].append(v)
@@ -153,13 +181,15 @@ class Runner:
         for b in self.cfg.order:
             if b.name in stacked:
                 total = self.cfg.sink_totals.get(b.name)
-                b.finalize(self._trim(b, _unstack_to_host(stacked[b.name])), total)
+                collected = cplx.decode(_unstack_to_host(stacked[b.name]))
+                b.finalize(self._trim(b, collected), total)
 
     def _deliver_batches(self, per_sink: dict[str, list]) -> None:
         for b in self.cfg.order:
             if b.name in per_sink and per_sink[b.name]:
                 total = self.cfg.sink_totals.get(b.name)
-                b.finalize(self._trim(b, _transpose(per_sink[b.name])), total)
+                collected = cplx.decode(_transpose(per_sink[b.name]))
+                b.finalize(self._trim(b, collected), total)
 
     # -- async (start/wait) ---------------------------------------------
     def start_async(self) -> None:
