@@ -103,7 +103,8 @@ class vector_source(Block):
     """Emit a fixed host vector, optionally repeating (reference
     blocklib/blocks/vector_source<T>)."""
 
-    def __init__(self, data, repeat: bool = False, dtype=None, vlen=(), name=None):
+    def __init__(self, data, repeat: bool = False, dtype=None, vlen=(), tags=None,
+                 name=None):
         super().__init__(name)
         self.data = np.asarray(data)
         if dtype is None:
@@ -111,6 +112,21 @@ class vector_source(Block):
         self.dtype = port_dtype(dtype)
         self.vlen = tuple(vlen) or self.data.shape[1:]
         self.repeat = repeat
+        self._tags_in = list(tags or [])
+        if self._tags_in:
+            from newsched_tpu.runtime import tags as tags_mod
+
+            self.tag_aware = True
+            self.tag_capacity = len(self._tags_in)
+            self._tag_offsets = np.asarray([int(t[0]) for t in self._tags_in], np.int32)
+            self._tag_keys = np.asarray(
+                [tags_mod.REGISTRY.intern(str(t[1])) for t in self._tags_in], np.int32
+            )
+            vals = np.zeros((len(self._tags_in), tags_mod.VALUE_DIM), np.float32)
+            for i, t in enumerate(self._tags_in):
+                for j, v in enumerate(t[2 : 2 + tags_mod.VALUE_DIM]):
+                    vals[i, j] = float(v)
+            self._tag_values = vals
         self.add_output("out", self.dtype, self.vlen)
 
     def finite_items(self, in_bound) -> int | None:
@@ -127,12 +143,15 @@ class vector_source(Block):
             arr = np.concatenate(
                 [self.data, np.zeros((pad,) + self.data.shape[1:], self.data.dtype)]
             ) if pad else self.data
-        return {
+        st = {
             "data": jnp.asarray(arr, dtype=self.dtype.jnp_dtype),
             "pos": jnp.zeros((), jnp.int32),
         }
+        if self._tags_in:
+            st["abs_pos"] = jnp.zeros((), jnp.int32)
+        return st
 
-    def work(self, state, ins, params, nout):
+    def work(self, state, ins, params, nout, in_tags=None):
         data, pos = state["data"], state["pos"]
         n = data.shape[0]
         if self.repeat:
@@ -142,21 +161,46 @@ class vector_source(Block):
         else:
             out = jax.lax.dynamic_slice_in_dim(data, pos, nout, 0)
             new_pos = jnp.minimum(pos + nout, jnp.int32(max(n - nout, 0)))
-        return {"data": data, "pos": new_pos}, {"out": out}
+        new_state = {"data": data, "pos": new_pos}
+        if not self._tags_in:
+            return new_state, {"out": out}
+        # Emit tags whose absolute offset falls in this batch's window.
+        # NB: non-repeat pos clamps at the end, so use the true batch start
+        # carried via an explicit counter for tag windows.
+        start = state["abs_pos"]
+        offs = jnp.asarray(self._tag_offsets)
+        valid = (offs >= start) & (offs < start + nout)
+        from newsched_tpu.runtime.tags import TagBatch
+
+        otags = TagBatch(
+            offsets=(offs - start).astype(jnp.int32),
+            keys=jnp.asarray(self._tag_keys),
+            values=jnp.asarray(self._tag_values),
+            valid=valid,
+        )
+        new_state["abs_pos"] = start + jnp.int32(nout)
+        return new_state, {"out": out}, otags
 
 
 class vector_sink(Block):
-    """Collect the stream into host memory (reference vector_sink<T>)."""
+    """Collect the stream (and its tags) into host memory (reference
+    vector_sink<T> with data()/tags() accessors)."""
+
+    collects_tags = True
 
     def __init__(self, dtype="cf32", vlen=(), name=None):
         super().__init__(name)
         self.add_input("in", dtype, vlen)
         self._data: np.ndarray | None = None
+        self._tags: list = []
 
     def work(self, state, ins, params, nout):
         return state, ins["in"]
 
     def finalize(self, collected, total):
+        if isinstance(collected, dict):
+            self._tags = collected["tags"]
+            collected = collected["data"]
         arr = np.asarray(collected)
         self._data = arr[:total] if total is not None else arr
 
@@ -164,6 +208,9 @@ class vector_sink(Block):
         if self._data is None:
             raise RuntimeError(f"{self.name}: flowgraph has not run")
         return self._data
+
+    def tags(self) -> list:
+        return self._tags
 
 
 class throttle(SyncBlock):

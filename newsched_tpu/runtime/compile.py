@@ -176,7 +176,7 @@ def compile_flowgraph(
             nb = -(-(t + sink_leads[s.name]) // n_in[s.name])
             n_batches = nb if n_batches is None else max(n_batches, nb)
 
-    step = build_step(g, order, n_out)
+    step = build_step(g, order, n_out, n_in)
     return CompiledFlowgraph(
         graph=g,
         order=order,
@@ -217,32 +217,75 @@ def _merge_bounds(g, order, rates, seeded):
     return bounds
 
 
-def build_step(g: Graph, order: list[Block], n_out: dict[str, int]):
+def build_step(g: Graph, order: list[Block], n_out: dict[str, int],
+               n_in: dict[str, int] | None = None):
     """Emit the pure per-batch function. Sinks (no stream outputs) return a
     per-batch collected pytree under their name (None to collect nothing).
 
     ``host_ins`` maps the name of each host-ingest block (one defining
     host_pull, e.g. file_source) to its staged batch; it appears to that
-    block's work as the pseudo input port "host_in"."""
+    block's work as the pseudo input port "host_in".
+
+    Tag plane (reference: executor tag propagation per
+    tag_propagation_policy_t, SURVEY.md §3.1): a shadow value per edge
+    carries a TagBatch. Capacity propagates statically from each block's
+    ``tag_capacity`` (sources) through merges; a graph with zero capacity
+    pays zero overhead. Blocks with ``tag_aware=True`` get ``in_tags=``
+    and return (state, outs, out_tags); others get the policy default
+    (all_to_all merge + exact rational offset remap). Sinks with
+    ``collects_tags=True`` receive {"data", "tags"} as their collection.
+    """
+    from newsched_tpu.runtime import tags as tags_mod
+
+    n_in = n_in or {}
+    # Static tag-capacity propagation.
+    caps: dict[str, int] = {}
+    for b in order:
+        in_cap = sum(caps[e.src.name] for e in g.in_edges(b))
+        own = int(getattr(b, "tag_capacity", 0))
+        caps[b.name] = in_cap + own if b.tag_policy != "dont" else own
+    any_tags = any(caps.values())
 
     def step(states: dict, params: dict, host_ins: dict | None = None):
         host_ins = host_ins or {}
         vals: dict[tuple[str, str], Any] = {}
+        tag_vals: dict[str, Any] = {}  # block name -> TagBatch on its outputs
         new_states = dict(states)
         sink_out: dict[str, Any] = {}
         for b in order:
             ins = {e.dst_port: vals[(e.src.name, e.src_port)] for e in g.in_edges(b)}
             if b.name in host_ins:
                 ins["host_in"] = host_ins[b.name]
-            st, outs = b.work(states[b.name], ins, params[b.name], n_out[b.name])
+            in_tag_list = [tag_vals[e.src.name] for e in g.in_edges(b)] if any_tags else []
+            in_tag_list = [t for t in in_tag_list if t is not None]
+            merged_in = None
+            if in_tag_list:
+                merged_in = in_tag_list[0]
+                for t in in_tag_list[1:]:
+                    merged_in = tags_mod.merge(merged_in, t)
+            if getattr(b, "tag_aware", False):
+                st, outs, otags = b.work(states[b.name], ins, params[b.name],
+                                         n_out[b.name], in_tags=merged_in)
+            else:
+                st, outs = b.work(states[b.name], ins, params[b.name], n_out[b.name])
+                otags = None
+                if merged_in is not None and b.tag_policy != "dont":
+                    ni, no = n_in.get(b.name, 0), n_out[b.name]
+                    otags = (tags_mod.remap(merged_in, no, ni)
+                             if ni and no and ni != no else merged_in)
             new_states[b.name] = st
             if b.outputs:
+                tag_vals[b.name] = otags
                 for p in b.outputs:
                     if p.name not in outs:
                         raise KeyError(f"{b.name}.work missing output {p.name!r}")
                     vals[(b.name, p.name)] = outs[p.name]
-            elif outs is not None:
-                sink_out[b.name] = outs
+            else:
+                tag_vals[b.name] = None
+                if getattr(b, "collects_tags", False) and merged_in is not None:
+                    sink_out[b.name] = {"data": outs, "tags": merged_in}
+                elif outs is not None:
+                    sink_out[b.name] = outs
         return new_states, sink_out
 
     return step

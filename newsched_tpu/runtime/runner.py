@@ -177,19 +177,35 @@ class Runner:
         end = None if total is None else lead + total
         return jax.tree_util.tree_map(lambda a: a[lead:end], collected)
 
+    def _finalize_sink(self, b, collected_host) -> None:
+        """collected_host: host pytree; stream leaves have batches flattened
+        into the leading axis; TagBatch nodes keep their (n_batches, K)
+        shape for absolute-offset reconstruction."""
+        from newsched_tpu.runtime import tags as tags_mod
+
+        total = self.cfg.sink_totals.get(b.name)
+        lead = self.cfg.sink_leads.get(b.name, 0)
+        if isinstance(collected_host, dict) and "tags" in collected_host \
+                and getattr(b, "collects_tags", False):
+            data = self._trim(b, cplx.decode(collected_host["data"]))
+            raw = tags_mod.decode_batches(collected_host["tags"],
+                                          self.cfg.n_in[b.name])
+            hi = np.inf if total is None else total
+            tags = [t._replace(offset=t.offset - lead) for t in raw
+                    if 0 <= t.offset - lead < hi]
+            b.finalize({"data": data, "tags": tags}, total)
+        else:
+            b.finalize(self._trim(b, cplx.decode(collected_host)), total)
+
     def _deliver_stacked(self, stacked: dict[str, Any], n_batches: int) -> None:
         for b in self.cfg.order:
             if b.name in stacked:
-                total = self.cfg.sink_totals.get(b.name)
-                collected = cplx.decode(_unstack_to_host(stacked[b.name]))
-                b.finalize(self._trim(b, collected), total)
+                self._finalize_sink(b, _unstack_to_host(stacked[b.name]))
 
     def _deliver_batches(self, per_sink: dict[str, list]) -> None:
         for b in self.cfg.order:
             if b.name in per_sink and per_sink[b.name]:
-                total = self.cfg.sink_totals.get(b.name)
-                collected = cplx.decode(_transpose(per_sink[b.name]))
-                b.finalize(self._trim(b, collected), total)
+                self._finalize_sink(b, _transpose(per_sink[b.name]))
 
     # -- async (start/wait) ---------------------------------------------
     def start_async(self) -> None:
@@ -216,17 +232,41 @@ class Runner:
                 raise RuntimeError(f"flowgraph execution failed:\n{self._exc}")
 
 
+def _is_tagbatch(x) -> bool:
+    from newsched_tpu.runtime.tags import TagBatch
+
+    return isinstance(x, TagBatch)
+
+
 def _unstack_to_host(tree):
     """Stacked scan output pytree (leading n_batches axis on every leaf) ->
-    same pytree on host with batches flattened into the leading axis."""
-    leaves = jax.device_get(tree)
-    return jax.tree_util.tree_map(lambda a: np.reshape(np.asarray(a), (-1,) + a.shape[2:]),
-                                  leaves)
+    host pytree with batches flattened into the leading axis. TagBatch
+    nodes keep their per-batch leading axis."""
+    from newsched_tpu.runtime.tags import TagBatch
+
+    host = jax.device_get(tree)
+
+    def fix(x):
+        if _is_tagbatch(x):
+            return TagBatch(*(np.asarray(l) for l in x))
+        a = np.asarray(x)
+        return np.reshape(a, (-1,) + a.shape[2:])
+
+    return jax.tree_util.tree_map(fix, host, is_leaf=_is_tagbatch)
 
 
 def _transpose(batches: list):
-    """List of per-batch pytrees -> pytree of concatenated leaves."""
+    """List of per-batch pytrees -> host pytree: stream leaves concatenated,
+    TagBatch nodes stacked (keeping the per-batch axis)."""
+    from newsched_tpu.runtime.tags import TagBatch
+
     if not batches:
         return batches
-    return jax.tree_util.tree_map(lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
-                                  *batches)
+
+    def comb(*xs):
+        if _is_tagbatch(xs[0]):
+            return TagBatch(*(np.stack([np.asarray(getattr(x, f)) for x in xs])
+                              for f in xs[0]._fields))
+        return np.concatenate([np.asarray(x) for x in xs])
+
+    return jax.tree_util.tree_map(comb, *batches, is_leaf=_is_tagbatch)

@@ -1,0 +1,75 @@
+"""Flagship model tests — the BASELINE configs as end-to-end flowgraphs
+with SNR gates vs scipy references."""
+
+import numpy as np
+import pytest
+import scipy.signal as sig
+
+from newsched_tpu.blocks import general
+from newsched_tpu.models import fir_chain, fm_channelizer, wbfm_receiver
+from tests.test_ops_fir import snr_db
+
+
+def _fm_modulate(msg: np.ndarray, dev_per_fs: float) -> np.ndarray:
+    phase = np.cumsum(2 * np.pi * dev_per_fs * msg)
+    return np.exp(1j * phase).astype(np.complex64)
+
+
+def test_config0_fir_chain_runs():
+    fg, parts = fir_chain(n_samples=100_000, batch_size=16384, sink="vector")
+    fg.run()
+    y = parts["sink"].data()
+    assert y.shape == (100_000,)
+    assert np.all(np.isfinite(y.view(np.float32)))
+
+
+def test_config1_wbfm_receiver_snr():
+    """FM-modulate a tone at a 200 kHz offset carrier; receive; gate SNR.
+
+    The audio chain is 1 MS/s -> decim 4 -> 250 kS/s quad -> resample 1/5
+    -> 50 kS/s audio.
+    """
+    fs = 1_000_000.0
+    n = 1 << 19
+    t = np.arange(n) / fs
+    f_audio = 2000.0
+    msg = np.sin(2 * np.pi * f_audio * t).astype(np.float32)
+    deviation = 75_000.0
+    base = _fm_modulate(msg, deviation / fs)
+    # shift to +200 kHz carrier
+    x = (base * np.exp(2j * np.pi * 200e3 * t)).astype(np.complex64)
+
+    src = general.vector_source(x)
+    fg, parts = wbfm_receiver(fs=fs, center_freq=200e3, quad_rate_decim=4,
+                              audio_decim=(1, 5), deviation=deviation,
+                              source=src, batch_size=32768)
+    fg.run()
+    audio = parts["sink"].data()
+    audio_fs = fs / 4 / 5
+    # reference: the original tone at the audio rate
+    ta = np.arange(len(audio)) / audio_fs
+    ref = np.sin(2 * np.pi * f_audio * ta)
+    # trim filter transients; fit amplitude+phase of the tone (the chain's
+    # group delay is a non-integer number of audio samples, so integer-lag
+    # alignment would understate SNR)
+    skip = 2000
+    a = audio[skip:-skip].astype(np.float64)
+    tt = ta[skip:-skip]
+    s = np.sin(2 * np.pi * f_audio * tt)
+    c = np.cos(2 * np.pi * f_audio * tt)
+    gs = np.dot(a, s) / np.dot(s, s)
+    gc = np.dot(a, c) / np.dot(c, c)
+    fit = gs * s + gc * c
+    best = snr_db(fit, a)
+    amp = float(np.hypot(gs, gc))
+    assert abs(amp - 1.0) < 0.05, f"recovered amplitude {amp:.3f}"
+    assert best > 50, f"audio SNR {best:.1f} dB"
+
+
+def test_config2_channelizer_model_runs():
+    fg, parts = fm_channelizer(nchans=16, fs=16e6, taps_per_arm=8, audio_decim=4,
+                               n_samples=2048, batch_size=65536, sink="vector")
+    fg.run()
+    audio = parts["sink"].data()
+    assert audio.shape == (2048, 16)
+    assert np.all(np.isfinite(audio))

@@ -99,3 +99,44 @@ def test_output_is_channel_sharded():
     audio, _ = jax.jit(ch.step)(x, ch.init_state())
     spec = audio.sharding.spec
     assert spec[1] == "t" or (isinstance(spec[1], tuple) and "t" in spec[1])
+
+
+def test_sharded_fft_filter_tags_preserved():
+    """BASELINE config #3: overlap-save filter, time-sharded, tags intact."""
+    import jax.numpy as jnp
+    from newsched_tpu.parallel.sharded_fir import ShardedFirFilter
+    from newsched_tpu.runtime import tags as tags_mod
+    import scipy.signal as sig
+
+    taps = firdes.low_pass(1.0, 1.0, 0.1, 0.02, ntaps=129)
+    mesh = make_mesh(8)
+    decim = 2
+    f = ShardedFirFilter(mesh, taps, decim=decim, method="fft")
+    B = max(f.min_batch(), 8 * 512)
+    x = _rand_complex(2 * B, seed=40)
+
+    # tags at known batch-relative offsets (batch 0 and batch 1)
+    def mk_tags(offsets):
+        k = len(offsets)
+        return tags_mod.TagBatch(
+            offsets=jnp.asarray(offsets, jnp.int32),
+            keys=jnp.zeros((k,), jnp.int32),
+            values=jnp.zeros((k, tags_mod.VALUE_DIM), jnp.float32),
+            valid=jnp.ones((k,), bool),
+        )
+
+    st = f.init_state()
+    step = jax.jit(f.step)
+    outs, out_tag_offsets = [], []
+    per_batch_tags = [mk_tags([7, B - 3]), mk_tags([11])]
+    for b in range(2):
+        xb = jax.device_put(jnp.asarray(x[b * B : (b + 1) * B]), f.input_sharding())
+        y, otags, st = step(xb, per_batch_tags[b], st)
+        outs.append(np.asarray(y))
+        out_tag_offsets.append(np.asarray(otags.offsets))
+    y = np.concatenate(outs)
+    ref = sig.lfilter(taps.astype(np.float64), [1.0], x.astype(np.complex128))[::decim]
+    assert snr_db(ref, y) > 90
+    # tag offsets remapped by 1/decim, still batch-relative
+    assert out_tag_offsets[0].tolist() == [7 // decim, (B - 3) // decim]
+    assert out_tag_offsets[1].tolist() == [11 // decim]

@@ -1,0 +1,82 @@
+"""Stream-tag tests (reference: test/qa_tags.py-style integration tests +
+config #3's tag-preservation gate)."""
+
+import numpy as np
+import scipy.signal as sig
+
+from newsched_tpu import Flowgraph
+from newsched_tpu.blocks import filter as filt, general, math as gmath
+from newsched_tpu.ops import firdes
+from tests.test_ops_fir import snr_db, _rand_complex
+
+
+def test_tags_passthrough_sync_chain():
+    data = _rand_complex(1024)
+    tag_list = [(0, "start", 1.0), (100, "a", 2.5), (999, "end", 3.0)]
+    fg = Flowgraph(batch_size=256)
+    src = general.vector_source(data, tags=tag_list)
+    c = general.copy()
+    snk = general.vector_sink()
+    fg.connect(src, 0, c, 0)
+    fg.connect(c, 0, snk, 0)
+    fg.run()
+    got = [(t.offset, t.key, t.value[0]) for t in snk.tags()]
+    assert got == [(0, "start", 1.0), (100, "a", 2.5), (999, "end", 3.0)]
+
+
+def test_tags_remap_through_decimator():
+    data = _rand_complex(4096)
+    taps = firdes.low_pass(1.0, 1.0, 0.1, 0.05, ntaps=33)
+    tag_list = [(0, "t0"), (400, "t1"), (401, "t2"), (4000, "t3")]
+    fg = Flowgraph(batch_size=1024)
+    src = general.vector_source(data, tags=tag_list)
+    fir = filt.fir_filter(taps, decim=4)
+    snk = general.vector_sink()
+    fg.connect(src, 0, fir, 0)
+    fg.connect(fir, 0, snk, 0)
+    fg.run()
+    offs = [(t.offset, t.key) for t in snk.tags()]
+    assert offs == [(0, "t0"), (100, "t1"), (100, "t2"), (1000, "t3")]
+
+
+def test_tags_through_fft_filter_with_data_check():
+    """Config #3 shape: overlap-save fft_filter, tags intact, data golden."""
+    data = _rand_complex(8192, seed=33)
+    taps = firdes.low_pass(1.0, 1.0, 0.2, 0.02)  # auto length (big-ish)
+    tag_list = [(10, "sync", 7.0), (5000, "pkt", 1.0, 2.0)]
+    fg = Flowgraph(batch_size=2048)
+    src = general.vector_source(data, tags=tag_list)
+    ff = filt.fft_filter(taps)
+    snk = general.vector_sink()
+    fg.connect(src, 0, ff, 0)
+    fg.connect(ff, 0, snk, 0)
+    fg.run()
+    ref = sig.lfilter(taps.astype(np.float64), [1.0], data.astype(np.complex128))
+    assert snr_db(ref, snk.data()) > 90
+    got = [(t.offset, t.key, t.value) for t in snk.tags()]
+    assert got == [(10, "sync", (7.0, 0.0)), (5000, "pkt", (1.0, 2.0))]
+
+
+def test_tags_merge_multi_input():
+    a = _rand_complex(512, seed=1)
+    b = _rand_complex(512, seed=2)
+    fg = Flowgraph(batch_size=128)
+    sa = general.vector_source(a, tags=[(5, "from_a")])
+    sb = general.vector_source(b, tags=[(200, "from_b")])
+    adder = gmath.add(2)
+    snk = general.vector_sink()
+    fg.connect(sa, 0, adder, 0)
+    fg.connect(sb, 0, adder, 1)
+    fg.connect(adder, 0, snk, 0)
+    fg.run()
+    got = sorted((t.offset, t.key) for t in snk.tags())
+    assert got == [(5, "from_a"), (200, "from_b")]
+
+
+def test_untagged_graph_has_no_tags():
+    fg = Flowgraph(batch_size=128)
+    src = general.vector_source(_rand_complex(256))
+    snk = general.vector_sink()
+    fg.connect(src, 0, snk, 0)
+    fg.run()
+    assert snk.tags() == []
