@@ -159,7 +159,7 @@ def main():
     taps, audio_taps = _design()
     cpu_sps = cpu_reference_throughput(taps, audio_taps)
 
-    K = 20
+    K = 100
     run_k, one_batch_audio, xp, ch, xc, B = tpu_run(taps, audio_taps, batch=1 << 21,
                                                     k_steps=K)
     log(f"devices: {jax.devices()}, batch {B}")

@@ -90,24 +90,28 @@ def pfb_channelize(
     n_out = B // M
     ntaps = M * L
     xfull = jnp.concatenate([state.tail, x])
-    U = _arm_signals(xfull, M, L, n_out)  # (M, L-1+n_out) complex64
-    # Per-arm valid correlation with reversed arm taps: grouped conv, one
-    # group per arm, real/imag planes as batch.
-    k_rev = arm_taps[:, ::-1].astype(jnp.float32)  # (M, L)
-    planes = jnp.stack([jnp.real(U), jnp.imag(U)]).astype(jnp.float32)  # (2, M, n)
-    out = jax.lax.conv_general_dilated(
-        planes,  # (batch=2, features=M, n)
-        k_rev[:, None, :],  # (out_feat=M, in_feat/groups=1, L)
-        window_strides=(1,),
-        padding=[(0, 0)],
-        feature_group_count=M,  # depthwise: arm p convolves with kernel p
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (2, M, n_out)
-    V = jax.lax.complex(out[0], out[1])  # (M, n_out) arm outputs
-    # y_k[m] = sum_p e^{+j2pi kp/M} V[p, m]  =  M * ifft over p.
-    Y = (M * jnp.fft.ifft(V, axis=0)).astype(jnp.complex64)  # (M, n_out)
+    # Layout-preserving formulation (measured ~2x the depthwise-conv path on
+    # TPU): keep the commutator matrix V[i, q] = xfull[i*M + q] as-is — no
+    # transpose, no arm-reversal gather. With q = M-1-p the arm correlation
+    # becomes L shifted multiply-adds along axis 0 with coefficients
+    # c[s, q] = arm[M-1-q, L-1-s], and the final phase combine
+    #   y_k = sum_p v_p e^{j2pi pk/M}
+    # turns into a plain FFT along the q axis times the fixed twiddle
+    # e^{-j2pi k/M} (index reversal absorbed analytically).
+    need = L - 1 + n_out
+    V = xfull[: need * M].reshape(need, M)
+    arm_np = np.asarray(arm_taps, dtype=np.float32)
+    c = arm_np[::-1, ::-1].T  # (L, M): c[s, q] = arm[M-1-q, L-1-s]
+    acc = jnp.zeros((n_out, M), jnp.complex64)
+    for s in range(L):
+        acc = acc + jnp.asarray(c[s])[None, :] * jax.lax.dynamic_slice_in_dim(
+            V, s, n_out, 0
+        )
+    k = np.arange(M)
+    twiddle = jnp.asarray(np.exp(-2j * np.pi * k / M).astype(np.complex64))
+    Y = (jnp.fft.fft(acc, axis=-1) * twiddle[None, :]).astype(jnp.complex64)
     new_tail = xfull[-(ntaps - 1):]
-    return PfbState(tail=new_tail), Y.T  # (n_out, M)
+    return PfbState(tail=new_tail), Y  # (n_out, M)
 
 
 def pfb_decimate(
