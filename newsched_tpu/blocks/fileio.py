@@ -16,24 +16,50 @@ from newsched_tpu.utils.dtypes import port_dtype
 
 
 class file_source(Block):
-    """Stream items from a raw binary file (reference fileio::file_source)."""
+    """Stream items from a raw binary file (reference fileio::file_source).
+
+    With use_native=True (default when the toolchain allows), a C++ pump
+    thread streams the file into a double-mapped vmcirc ring
+    (io/native/vmcirc_ring.cpp) and host_pull drains it — file IO overlaps
+    device compute, the reference's buffer_cpu_vmcirc role. Falls back to
+    numpy memmap reads otherwise.
+    """
 
     host_io = True
 
-    def __init__(self, path: str, dtype="cf32", repeat: bool = False, name=None):
+    def __init__(self, path: str, dtype="cf32", repeat: bool = False,
+                 use_native: bool | None = None, ring_bytes: int = 1 << 24,
+                 name=None):
         super().__init__(name)
         self.path = path
         self.repeat = repeat
         self.dtype = port_dtype(dtype)
+        self.ring_bytes = ring_bytes
+        self.use_native = use_native
         self.add_output("out", self.dtype)
         self._mm: np.ndarray | None = None
+        self._ring = None
         self._pos = 0
 
     def start(self):
-        self._mm = np.memmap(self.path, dtype=self.dtype.np_dtype, mode="r")
+        from newsched_tpu.io import native_available
+
+        use_native = self.use_native
+        if use_native is None:
+            use_native = native_available()
+        if use_native:
+            from newsched_tpu.io import VmcircRing
+
+            self._ring = VmcircRing(self.ring_bytes)
+            self._ring.start_file_pump(self.path, loop=self.repeat)
+        else:
+            self._mm = np.memmap(self.path, dtype=self.dtype.np_dtype, mode="r")
         self._pos = 0
 
     def stop(self):
+        if self._ring is not None:
+            self._ring.stop_pump()
+            self._ring = None
         self._mm = None
 
     def finite_items(self, in_bound) -> int | None:
@@ -44,6 +70,10 @@ class file_source(Block):
 
     def host_pull(self, nout: int) -> np.ndarray:
         """Called by the runner per batch (host thread)."""
+        if self._ring is not None:
+            out = np.empty(nout, dtype=self.dtype.np_dtype)
+            self._ring.read_exact(out)
+            return out
         assert self._mm is not None, "file_source not started"
         n = len(self._mm)
         out = np.empty(nout, dtype=self.dtype.np_dtype)
