@@ -1,0 +1,114 @@
+"""Pallas kernel: polyphase channelizer arm fold (the PFB front end).
+
+Computes, for the commutator matrix V[i, q] = xfull[i*M + q] (layout
+preserved, see ops/pfb.py derivation):
+
+    acc[j, q] = sum_{s=0}^{L-1} c[s, q] * V[j + s, q]
+
+i.e. M independent L-tap FIRs down the columns of V — the bandwidth-bound
+heart of the channelizer. The jnp shifted-sum re-reads V up to L times
+from HBM when XLA declines to fuse all L slices; this kernel makes the
+single-pass structure explicit: each grid step DMAs one overlapping
+(T+L-1)-row window into VMEM (manual HBM->VMEM copy — BlockSpec tiling
+cannot overlap), multiply-accumulates the L shifts on the VPU, writes one
+(T,)-row output tile.
+
+Complex handling: the kernel works on the *interleaved float32 view* of
+the complex64 matrix — complex64's memory layout IS [re, im] pairs, so
+``bitcast_convert_type`` gives a (need, 2M) f32 array for free, the taps
+are duplicated per plane-pair host-side, and for M=64 the lane dimension
+is exactly 128 (Mosaic's tiling requirement that sank the planes-first
+layout)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def interleave_taps(c: np.ndarray) -> np.ndarray:
+    """(L, M) real taps -> (L, 2M) taps matching the interleaved view."""
+    return np.repeat(np.asarray(c, np.float32), 2, axis=1)
+
+
+def complex_to_interleaved(V: jax.Array) -> jax.Array:
+    """(need, M) complex64 -> (need, 2M) f32 with [re, im] interleaved.
+    (lax.bitcast rejects complex; stack+reshape yields the identical
+    layout and XLA emits a single interleave pass.)"""
+    f = jnp.stack([jnp.real(V), jnp.imag(V)], axis=-1)  # (need, M, 2)
+    return f.reshape(V.shape[0], V.shape[1] * 2)
+
+
+def interleaved_to_complex(A: jax.Array) -> jax.Array:
+    """(n, 2M) f32 -> (n, M) complex64."""
+    f = A.reshape(A.shape[0], A.shape[1] // 2, 2)
+    return jax.lax.complex(f[..., 0], f[..., 1])
+
+
+def arm_fold_reference(v: jax.Array, c2: jax.Array, n_out: int) -> jax.Array:
+    """Pure-jnp twin: v (need, W) f32, c2 (L, W) f32 -> (n_out, W)."""
+    L = c2.shape[0]
+    acc = jnp.zeros((n_out, v.shape[1]), jnp.float32)
+    for s in range(L):
+        acc = acc + c2[s][None, :] * jax.lax.dynamic_slice_in_dim(v, s, n_out, 0)
+    return acc
+
+
+def _kernel(v_hbm, c_ref, out_ref, scratch, sem, *, T: int, L: int):
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(v_hbm.at[pl.ds(i * T, T + L - 1), :], scratch, sem)
+    dma.start()
+    dma.wait()
+    acc = c_ref[0][None, :] * scratch[0:T, :]
+    for s in range(1, L):
+        acc = acc + c_ref[s][None, :] * scratch[s : s + T, :]
+    out_ref[:, :] = acc
+
+
+def arm_fold(v: jax.Array, c2: np.ndarray, n_out: int, tile: int = 512,
+             interpret: bool = False) -> jax.Array:
+    """Pallas arm fold on the interleaved view.
+
+    v: (need, W) f32, need >= n_out + L - 1, W a multiple of 128 (use
+    M >= 64 channels, or pad); c2: (L, W) static taps (interleave_taps);
+    returns (n_out, W) f32. n_out must divide by `tile`.
+    """
+    L, W = int(c2.shape[0]), int(c2.shape[1])
+    if n_out % tile != 0:
+        if n_out <= tile:
+            tile = n_out
+        else:
+            raise ValueError(f"n_out {n_out} not divisible by tile {tile}")
+    if not interpret and W % 128 != 0:
+        raise ValueError(f"lane width {W} must be a multiple of 128 on TPU")
+    grid = (n_out // tile,)
+    kernel = functools.partial(_kernel, T=tile, L=L)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM; manual DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # taps resident in VMEM
+        ],
+        out_specs=pl.BlockSpec((tile, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_out, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile + L - 1, W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(v, jnp.asarray(c2, jnp.float32))
+
+
+def pfb_arm_fold_complex(V: jax.Array, c: np.ndarray, n_out: int,
+                         tile: int = 512, interpret: bool = False) -> jax.Array:
+    """Full complex wrapper used by ops/pfb.py: V (need, M) complex64,
+    c (L, M) real arm coefficients -> acc (n_out, M) complex64."""
+    vf = complex_to_interleaved(V)
+    accf = arm_fold(vf, interleave_taps(c), n_out, tile=tile, interpret=interpret)
+    return interleaved_to_complex(accf)

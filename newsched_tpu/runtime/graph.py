@@ -202,19 +202,23 @@ class Flowgraph(Graph):
         self.batch_size = batch_size
         self._runner = None
 
-    def run(self, mesh=None, batch_size: int | None = None):
+    def run(self, mesh=None, batch_size: int | None = None, **runner_kwargs):
+        """Synchronous run. Extra kwargs reach the Runner: total_items,
+        resume_from, checkpoint_path, checkpoint_every, collect_stats."""
         from newsched_tpu.runtime.runner import Runner
 
         self.validate()
-        runner = Runner(self, batch_size=batch_size or self.batch_size, mesh=mesh)
+        runner = Runner(self, batch_size=batch_size or self.batch_size, mesh=mesh,
+                        **runner_kwargs)
         runner.run_to_completion()
         return runner
 
-    def start(self, mesh=None, batch_size: int | None = None):
+    def start(self, mesh=None, batch_size: int | None = None, **runner_kwargs):
         from newsched_tpu.runtime.runner import Runner
 
         self.validate()
-        self._runner = Runner(self, batch_size=batch_size or self.batch_size, mesh=mesh)
+        self._runner = Runner(self, batch_size=batch_size or self.batch_size, mesh=mesh,
+                              **runner_kwargs)
         self._runner.start_async()
         return self._runner
 

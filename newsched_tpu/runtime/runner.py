@@ -22,6 +22,7 @@ exactly ``n_batches`` steps and trims each sink's final partial batch.
 from __future__ import annotations
 
 import collections
+import os
 import threading
 import time
 from typing import Any
@@ -43,9 +44,16 @@ class Runner:
     elsewhere."""
 
     def __init__(self, fg, batch_size: int | None = None, mesh=None,
-                 total_items: int | None = None):
+                 total_items: int | None = None, resume_from: str | None = None,
+                 checkpoint_path: str | None = None, checkpoint_every: int = 0,
+                 collect_stats: bool = False):
         self.fg = fg
         self.mesh = mesh
+        self.resume_from = resume_from
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every
+        self.collect_stats = collect_stats
+        self.stats: dict = {"batches": 0, "items": 0, "batch_seconds": []}
         self.cfg = compile_flowgraph(fg, batch_size=batch_size, total_items=total_items)
         self._msg_queue: collections.deque = collections.deque()
         self._dirty_params: set[str] = set()
@@ -97,7 +105,9 @@ class Runner:
                     "or pass total_items (or use start()/stop() for live runs)"
                 )
             use_scan = not (self._has_host_io or self._has_pacing
-                            or self._msg_queue or self.cfg.n_batches < 2)
+                            or self._msg_queue or self.cfg.n_batches < 2
+                            or self.resume_from or self.checkpoint_path
+                            or self.collect_stats)
             if use_scan:
                 self._run_scan(self.cfg.n_batches)
             else:
@@ -130,16 +140,58 @@ class Runner:
         jax.block_until_ready(stacked)
         self._deliver_stacked(stacked, n_batches)
 
+    # -- checkpoint/resume (reference has none; SURVEY.md §6 upgrade:
+    # all state is an explicit pytree, so snapshotting is trivial) -------
+    def _save_checkpoint(self, states_enc, batch_idx: int) -> None:
+        import orbax.checkpoint as ocp
+
+        host = jax.device_get(states_enc)
+        # Key by topological position, not block name: auto-generated
+        # instance names differ between otherwise-identical graph builds,
+        # but resume only requires structural identity.
+        ordered = {f"b{i:04d}": host[b.name] for i, b in enumerate(self.cfg.order)}
+        path = os.path.abspath(self.checkpoint_path)
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(os.path.join(path, f"step_{batch_idx}"),
+                  {"states": ordered, "batch_idx": batch_idx}, force=True)
+        ckpt.wait_until_finished()
+
+    def _load_checkpoint(self):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(self.resume_from)
+        steps = sorted(
+            (int(d.split("_")[1]) for d in os.listdir(path) if d.startswith("step_")),
+        )
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {path}")
+        latest = steps[-1]
+        template_named = jax.device_get(self._init_states_enc())
+        template = {f"b{i:04d}": template_named[b.name]
+                    for i, b in enumerate(self.cfg.order)}
+        ckpt = ocp.StandardCheckpointer()
+        restored = ckpt.restore(os.path.join(path, f"step_{latest}"),
+                                {"states": template, "batch_idx": 0})
+        states = {b.name: restored["states"][f"b{i:04d}"]
+                  for i, b in enumerate(self.cfg.order)}
+        return states, int(restored["batch_idx"])
+
     def _run_loop(self, n_batches: int) -> None:
         params = self._params_enc()
-        states = self._init_states_enc()
+        start_batch = 0
+        if self.resume_from:
+            states, start_batch = self._load_checkpoint()
+        else:
+            states = self._init_states_enc()
         per_sink: dict[str, list] = {name: [] for name in self.cfg.sink_totals}
         pullers = [b for b in self.cfg.order if hasattr(b, "host_pull")]
+        pushers = {b.name: b for b in self.cfg.order if hasattr(b, "host_push")}
         t0 = time.monotonic()
         items_done = 0
-        for i in range(n_batches):
+        for i in range(start_batch, n_batches):
             if self._stop.is_set():
                 break
+            bt0 = time.monotonic() if self.collect_stats else 0.0
             self._drain_msgs()
             if self._dirty_params:
                 for name in self._dirty_params:
@@ -151,11 +203,26 @@ class Runner:
             )
             states, sink_out = self._jit_step(states, params, host_ins)
             for name, v in sink_out.items():
-                per_sink[name].append(v)
+                if name in pushers:
+                    # streaming egress (zmq/audio-style sinks): deliver this
+                    # batch now rather than accumulating to the end
+                    pushers[name].host_push(cplx.decode(jax.device_get(v)))
+                else:
+                    per_sink[name].append(v)
             items_done += self.cfg.batch_ref
+            if self.checkpoint_path and self.checkpoint_every and \
+                    (i + 1) % self.checkpoint_every == 0:
+                self._save_checkpoint(states, i + 1)
+            if self.collect_stats:
+                jax.block_until_ready(states)
+                self.stats["batch_seconds"].append(time.monotonic() - bt0)
+                self.stats["batches"] += 1
+                self.stats["items"] += self.cfg.batch_ref
             self._pace(items_done, t0)
         jax.block_until_ready(states)
-        self._deliver_batches(per_sink)
+        if self.checkpoint_path:
+            self._save_checkpoint(states, n_batches)
+        self._deliver_batches({k: v for k, v in per_sink.items() if v})
 
     def _pace(self, items_done: int, t0: float) -> None:
         if not self._has_pacing:
@@ -267,6 +334,6 @@ def _transpose(batches: list):
         if _is_tagbatch(xs[0]):
             return TagBatch(*(np.stack([np.asarray(getattr(x, f)) for x in xs])
                               for f in xs[0]._fields))
-        return np.concatenate([np.asarray(x) for x in xs])
+        return np.concatenate([np.atleast_1d(np.asarray(x)) for x in xs])
 
     return jax.tree_util.tree_map(comb, *batches, is_leaf=_is_tagbatch)

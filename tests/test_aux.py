@@ -1,0 +1,184 @@
+"""Auxiliary subsystem tests: checkpoint/resume, stats, YAML block specs,
+digital blocks, gui sinks, params/messages live paths (SURVEY.md §6)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from newsched_tpu import Flowgraph
+from newsched_tpu.blocks import digital, general, gui, math as gmath
+from newsched_tpu.runtime.blockspec import block_from_yaml
+from tests.test_ops_fir import _rand_complex
+
+
+def test_checkpoint_resume_matches_continuous():
+    """Run 8 batches; also run 4, checkpoint, resume 4 — identical stream
+    tail (the orbax upgrade promised in SURVEY.md §6)."""
+    from newsched_tpu.blocks import analog
+
+    def build():
+        fg = Flowgraph(batch_size=256)
+        src = analog.sig_source(1e6, "complex", frequency=12345.0)
+        hd = general.head(2048)
+        snk = general.vector_sink()
+        fg.connect(src, 0, hd, 0)
+        fg.connect(hd, 0, snk, 0)
+        return fg, snk
+
+    fg, snk = build()
+    fg.run(collect_stats=True)  # loop mode
+    full = snk.data()
+
+    with tempfile.TemporaryDirectory() as td:
+        fg1, snk1 = build()
+        fg1.run(total_items=1024, checkpoint_path=td, checkpoint_every=4)
+        first = snk1.data()
+        fg2, snk2 = build()
+        fg2.run(resume_from=td)
+        second = snk2.data()
+    got = np.concatenate([first, second[: 2048 - len(first)]])
+    np.testing.assert_array_equal(got, full)
+
+
+def test_runner_stats():
+    fg = Flowgraph(batch_size=128)
+    src = general.vector_source(_rand_complex(1024))
+    snk = general.null_sink()
+    fg.connect(src, 0, snk, 0)
+    runner = fg.run(collect_stats=True)
+    assert runner.stats["batches"] == 8
+    assert runner.stats["items"] == 1024
+    assert len(runner.stats["batch_seconds"]) == 8
+
+
+def test_yaml_block_expr():
+    cls = block_from_yaml(
+        """
+module: math
+block: scale_offset
+label: Scale & Offset
+parameters:
+  - id: k
+    dtype: cf32
+    default: 2.0
+  - id: c
+    dtype: cf32
+    default: 0.5
+ports:
+  - {domain: stream, id: in, direction: input, type: cf32}
+  - {domain: stream, id: out, direction: output, type: cf32}
+expr: "in_ * k + c"
+"""
+    )
+    data = _rand_complex(512)
+    fg = Flowgraph(batch_size=128)
+    src = general.vector_source(data)
+    blk = cls(k=3.0 + 0j)
+    snk = general.vector_sink()
+    fg.connect(src, 0, blk, 0)
+    fg.connect(blk, 0, snk, 0)
+    fg.run()
+    np.testing.assert_allclose(snk.data(), data * (3.0 + 0j) + 0.5, rtol=1e-6)
+
+
+def test_digital_roundtrip_qpsk():
+    const = digital.Constellation.qpsk()
+    rng = np.random.default_rng(0)
+    syms = rng.integers(0, 4, 4096).astype(np.int32)
+    fg = Flowgraph(batch_size=1024)
+    src = general.vector_source(syms, dtype="ri32")
+    mod = digital.chunks_to_symbols(const)
+    dec = digital.constellation_decoder(const)
+    snk = general.vector_sink(dtype="ri32")
+    fg.connect(src, 0, mod, 0)
+    fg.connect(mod, 0, dec, 0)
+    fg.connect(dec, 0, snk, 0)
+    fg.run()
+    np.testing.assert_array_equal(snk.data(), syms)
+
+
+def test_digital_diff_codec():
+    rng = np.random.default_rng(1)
+    syms = rng.integers(0, 4, 2048).astype(np.int32)
+    fg = Flowgraph(batch_size=512)
+    src = general.vector_source(syms, dtype="ri32")
+    enc = digital.diff_encoder(4)
+    dec = digital.diff_decoder(4)
+    snk = general.vector_sink(dtype="ri32")
+    fg.connect(src, 0, enc, 0)
+    fg.connect(enc, 0, dec, 0)
+    fg.connect(dec, 0, snk, 0)
+    fg.run()
+    # diff decode of diff encode recovers input (first sample rel. to 0)
+    np.testing.assert_array_equal(snk.data(), syms)
+
+
+def test_gui_sinks(tmp_path):
+    from newsched_tpu.blocks import analog
+
+    png_t = str(tmp_path / "time.png")
+    png_f = str(tmp_path / "freq.png")
+    fg = Flowgraph(batch_size=2048)
+    src = analog.sig_source(1e6, "complex", frequency=100e3)
+    hd = general.head(8192)
+    ts = gui.freq_sink(sampling_freq=1e6, png_path=png_f)
+    fg.connect(src, 0, hd, 0)
+    fg.connect(hd, 0, ts, 0)
+    fg.run()
+    freqs, psd = ts.psd()
+    assert abs(freqs[np.argmax(psd)] - 100e3) < 2e3
+    assert os.path.exists(png_f) and os.path.getsize(png_f) > 1000
+
+
+def test_live_param_change_between_batches():
+    """Param changes apply on subsequent batches without recompile
+    (reference: qa_block_params pattern)."""
+    from newsched_tpu.runtime.runner import Runner
+
+    data = np.ones(1024, np.complex64)
+    fg = Flowgraph(batch_size=256)
+    src = general.vector_source(data)
+    mc = gmath.multiply_const(1.0 + 0j, dtype="cf32")
+    snk = general.vector_sink()
+    fg.connect(src, 0, mc, 0)
+    fg.connect(mc, 0, snk, 0)
+    fg.validate()
+    runner = Runner(fg, batch_size=256, collect_stats=True)
+    # drive manually: hook param change after batch 2 via message queue
+    orig_drain = runner._drain_msgs
+    counter = {"i": 0}
+
+    def drain():
+        if counter["i"] == 2:
+            mc.set_param("k", 5.0 + 0j)
+        counter["i"] += 1
+        orig_drain()
+
+    runner._drain_msgs = drain
+    runner.run_to_completion()
+    out = snk.data()
+    np.testing.assert_allclose(out[:512], 1.0)
+    np.testing.assert_allclose(out[512:], 5.0)
+
+
+def test_msg_forward_chain():
+    """Message ports: post -> forward -> forward, drained between batches
+    (reference: qa_message_ports pattern)."""
+    fg = Flowgraph(batch_size=128)
+    src = general.vector_source(_rand_complex(512))
+    snk = general.null_sink()
+    m1 = general.msg_forward()
+    m2 = general.msg_forward()
+    fg.connect(src, 0, snk, 0)
+    fg.msg_connect(m1, "out", m2, "in")
+    fg.validate()
+    from newsched_tpu.runtime.runner import Runner
+
+    runner = Runner(fg, batch_size=128, collect_stats=True)
+    for b in (m1, m2):
+        b._runtime = runner
+    m1._msg_handlers["in"]({"hello": 1})
+    runner.run_to_completion()
+    assert m2.received == [{"hello": 1}]
