@@ -1,0 +1,144 @@
+"""Microbenchmarks — the analog of the reference's bench/ bm_* flowgraph
+binaries and mormj/gr-bench: copy chains, fanout, FIR chains, channelizer,
+each timed end-to-end through the compiled runtime on whatever backend is
+active (TPU under axon, CPU otherwise).
+
+Usage: python bench/bm_micro.py [name ...]   (default: all)
+Prints one JSON line per benchmark: {"bench", "samples_per_sec", "batches"}.
+
+Methodology matches bench.py: one jitted lax.scan of K dependent steps,
+f32 checksum fetched to force completion (see BASELINE.md notes).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _time_graph(build, n_items: int, batch: int):
+    """Time a compiled flowgraph's scan over its bounded stream: run once
+    to compile (the scan program is memoized on the Runner), then time the
+    best of 3 steady-state reruns. On the axon tunnel the run includes the
+    sink-value fetch, which is exactly what makes the timing honest
+    (BASELINE.md methodology notes)."""
+    from newsched_tpu.runtime.runner import Runner
+
+    fg = build()
+    fg.validate()
+    runner = Runner(fg, batch_size=batch)
+    n_b = runner.cfg.n_batches
+    runner.run_to_completion()  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        runner.run_to_completion()
+        best = min(best, time.perf_counter() - t0)
+    return n_items / best, n_b
+
+
+def bm_copy_chain(depth: int = 8, n: int = 1 << 22, batch: int = 1 << 18):
+    from newsched_tpu.blocks import general
+
+    def build():
+        from newsched_tpu import Flowgraph
+
+        fg = Flowgraph(batch_size=batch)
+        src = general.null_source(dtype="rf32")
+        prev = src
+        for _ in range(depth):
+            c = general.copy(dtype="rf32")
+            fg.connect(prev, 0, c, 0)
+            prev = c
+        hd = general.head(n, dtype="rf32")
+        fg.connect(prev, 0, hd, 0)
+        snk = general.null_sink(dtype="rf32")
+        fg.connect(hd, 0, snk, 0)
+        return fg
+
+    return _time_graph(build, n, batch)
+
+
+def bm_fanout(width: int = 8, n: int = 1 << 21, batch: int = 1 << 17):
+    from newsched_tpu.blocks import general
+
+    def build():
+        from newsched_tpu import Flowgraph
+
+        fg = Flowgraph(batch_size=batch)
+        src = general.null_source(dtype="rf32")
+        hd = general.head(n, dtype="rf32")
+        fg.connect(src, 0, hd, 0)
+        for _ in range(width):
+            snk = general.null_sink(dtype="rf32")
+            fg.connect(hd, 0, snk, 0)
+        return fg
+
+    return _time_graph(build, n, batch)
+
+
+def bm_fir_chain(depth: int = 4, ntaps: int = 64, n: int = 1 << 21, batch: int = 1 << 17):
+    from newsched_tpu.blocks import analog, filter as filt, general
+    from newsched_tpu.ops import firdes
+
+    taps = firdes.low_pass(1.0, 1.0, 0.2, 0.1, ntaps=ntaps)
+
+    def build():
+        from newsched_tpu import Flowgraph
+
+        fg = Flowgraph(batch_size=batch)
+        src = analog.sig_source(1e6, "complex", frequency=1000.0)
+        prev = src
+        for _ in range(depth):
+            f = filt.fir_filter(taps)
+            fg.connect(prev, 0, f, 0)
+            prev = f
+        hd = general.head(n)
+        fg.connect(prev, 0, hd, 0)
+        snk = general.null_sink()
+        fg.connect(hd, 0, snk, 0)
+        return fg
+
+    return _time_graph(build, n, batch)
+
+
+def bm_channelizer(nchans: int = 64, n: int = 1 << 22, batch: int = 1 << 19):
+    from newsched_tpu.blocks import analog, filter as filt, general
+
+    def build():
+        from newsched_tpu import Flowgraph
+
+        fg = Flowgraph(batch_size=batch)
+        src = analog.noise_source("gaussian", 0.5)
+        pfb = filt.pfb_channelizer(nchans, taps_per_arm=16)
+        hd = general.head(n // nchans, vlen=(nchans,))
+        snk = general.null_sink(vlen=(nchans,))
+        fg.connect(src, 0, pfb, 0)
+        fg.connect(pfb, 0, hd, 0)
+        fg.connect(hd, 0, snk, 0)
+        return fg
+
+    return _time_graph(build, n, batch)
+
+
+ALL = {
+    "copy_chain": bm_copy_chain,
+    "fanout": bm_fanout,
+    "fir_chain": bm_fir_chain,
+    "channelizer": bm_channelizer,
+}
+
+
+def main(argv):
+    names = argv or list(ALL)
+    for name in names:
+        sps, nb = ALL[name]()
+        print(json.dumps({"bench": name, "samples_per_sec": round(sps), "batches": nb}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

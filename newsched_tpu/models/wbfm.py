@@ -72,6 +72,27 @@ def wbfm_receiver(fs: float = 1_000_000.0, center_freq: float = 200_000.0,
     }
 
 
+def make_fm_demod_hier(quad_rate: float, deviation: float = 75e3,
+                       audio_interp: int = 1, audio_decim: int = 5):
+    """FM demod as a reusable HierBlock (reference: hier_block composites
+    like GR's wfm_rcv): quadrature_demod -> rational_resampler, exported
+    as one block with ports in=cf32, out=rf32."""
+    import numpy as _np
+
+    from newsched_tpu.runtime.graph import HierBlock
+
+    class FmDemod(HierBlock):
+        def __init__(self, name=None):
+            super().__init__(name)
+            demod = analog.quadrature_demod(gain=quad_rate / (2 * _np.pi * deviation))
+            resamp = filt.rational_resampler(audio_interp, audio_decim, dtype="rf32")
+            self.graph.connect(demod, 0, resamp, 0)
+            self.map_input("in", demod.i())
+            self.map_output("out", resamp.o())
+
+    return FmDemod()
+
+
 def fm_channelizer(nchans: int = 64, fs: float = 100e6, taps_per_arm: int = 16,
                    audio_decim: int = 8, n_samples: int | None = None,
                    source=None, batch_size: int | None = None, sink: str = "null",

@@ -74,12 +74,14 @@ def _propagate_rates(g: Graph, order: list[Block]) -> dict[str, Fraction]:
 
 
 def _choose_batch(rates: dict[str, Fraction], requested: int | None) -> int:
+    from newsched_tpu.utils import prefs
+
     lcm = 1
     for r in rates.values():
         lcm = lcm * r.denominator // math.gcd(lcm, r.denominator)
         # also keep numerators' contribution: n_out must be integer for
         # every block, which the denominator LCM guarantees.
-    target = requested or DEFAULT_BATCH
+    target = requested or int(prefs.get("default_batch_size", DEFAULT_BATCH))
     n = max(1, -(-target // lcm)) * lcm
     return n
 

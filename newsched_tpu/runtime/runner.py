@@ -120,21 +120,27 @@ class Runner:
     def _run_scan(self, n_batches: int) -> None:
         step = self.cfg.step
         params_enc = self._params_enc()
+        run_all = getattr(self, "_run_all_cache", {}).get(n_batches)
+        if run_all is None:
 
-        @jax.jit
-        def run_all(params_enc):
-            params = cplx.decode(params_enc)
+            @jax.jit
+            def run_all(params_enc):
+                params = cplx.decode(params_enc)
 
-            def scan_fn(states, _):
-                new_states, sink_out = step(states, params)
-                return new_states, cplx.encode(sink_out)
+                def scan_fn(states, _):
+                    new_states, sink_out = step(states, params)
+                    return new_states, cplx.encode(sink_out)
 
-            # States are built inside the program: complex leaves never
-            # cross the boundary; the scan carry stays internal.
-            states0 = self.cfg.init_states()
-            final, stacked = jax.lax.scan(scan_fn, states0, xs=None, length=n_batches)
-            del final
-            return stacked
+                # States are built inside the program: complex leaves never
+                # cross the boundary; the scan carry stays internal.
+                states0 = self.cfg.init_states()
+                final, stacked = jax.lax.scan(scan_fn, states0, xs=None,
+                                              length=n_batches)
+                del final
+                return stacked
+
+            self._run_all_cache = getattr(self, "_run_all_cache", {})
+            self._run_all_cache[n_batches] = run_all
 
         stacked = run_all(params_enc)
         jax.block_until_ready(stacked)

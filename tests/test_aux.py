@@ -182,3 +182,39 @@ def test_msg_forward_chain():
     m1._msg_handlers["in"]({"hello": 1})
     runner.run_to_completion()
     assert m2.received == [{"hello": 1}]
+
+
+def test_hier_block_fm_demod():
+    """HierBlock flattening: the FM demod composite connects like one block
+    (reference: qa_hier_block pattern)."""
+    from newsched_tpu.models.wbfm import make_fm_demod_hier
+
+    fs = 250e3
+    n = 1 << 15
+    t = np.arange(n) / fs
+    msg = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    phase = np.cumsum(2 * np.pi * 75e3 / fs * msg)
+    x = np.exp(1j * phase).astype(np.complex64)
+
+    fg = Flowgraph(batch_size=4096)
+    src = general.vector_source(x)
+    fm = make_fm_demod_hier(quad_rate=fs)
+    snk = general.vector_sink(dtype="rf32")
+    fg.connect(src, 0, fm, 0)
+    fg.connect(fm, 0, snk, 0)
+    fg.run()
+    audio = snk.data()
+    assert audio.shape[0] == n // 5
+    # recovered 1 kHz tone at 50 kS/s
+    spec = np.abs(np.fft.rfft(audio[500:] * np.hanning(len(audio) - 500)))
+    f = np.fft.rfftfreq(len(audio) - 500, 5 / fs)
+    assert abs(f[np.argmax(spec)] - 1000) < 20
+
+
+def test_prefs_env_override(monkeypatch):
+    from newsched_tpu.utils import prefs
+
+    monkeypatch.setenv("NEWSCHED_TPU_DEFAULT_BATCH_SIZE", "4096")
+    prefs.reset_cache()
+    assert prefs.get("default_batch_size") == 4096
+    prefs.reset_cache()
