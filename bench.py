@@ -156,6 +156,11 @@ def tpu_run(taps, audio_taps, batch: int, k_steps: int):
 def main():
     import jax
 
+    # NB: do NOT enable the persistent compilation cache here — the axon
+    # remote-compile tunnel hangs when serialized-executable loading is
+    # requested (verified empirically; fresh compiles take ~3-5 s when the
+    # tunnel is healthy).
+
     taps, audio_taps = _design()
     cpu_sps = cpu_reference_throughput(taps, audio_taps)
 

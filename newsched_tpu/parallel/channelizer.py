@@ -56,7 +56,8 @@ class ShardedFMChannelizer:
 
     def __init__(self, mesh: Mesh, nchans: int, taps: np.ndarray,
                  audio_taps: np.ndarray, audio_decim: int = 8,
-                 demod_gain: float = 1.0, axis: str = "t"):
+                 demod_gain: float = 1.0, axis: str = "t",
+                 audio_method: str = "conv"):
         self.mesh = mesh
         self.axis = axis
         self.n_dev = mesh.shape[axis]
@@ -97,7 +98,7 @@ class ShardedFMChannelizer:
             # Audio FIR + decimation per channel (vmap streaming kernel).
             def one(tail, ch):
                 st, y = fir_ops.fir_filter(ataps, fir_ops.FirState(tail=tail), ch,
-                                           decim=decim, method="conv")
+                                           decim=decim, method=audio_method)
                 return st.tail, y
 
             new_tails, ys = jax.vmap(one)(audio_tail, aud.T.astype(jnp.float32))
@@ -117,7 +118,7 @@ class ShardedFMChannelizer:
                 aud = jnp.arctan2(jnp.imag(p), jnp.real(p)) * gain
                 def one(tail, ch):
                     st, y = fir_ops.fir_filter(ataps, fir_ops.FirState(tail=tail), ch,
-                                               decim=decim, method="conv")
+                                               decim=decim, method=audio_method)
                     return st.tail, y
                 new_tails, ys = jax.vmap(one)(audio_tail, aud.T.astype(jnp.float32))
                 return ys.T, x[-H:], Y[-1], new_tails

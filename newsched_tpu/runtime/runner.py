@@ -47,6 +47,14 @@ class Runner:
                  total_items: int | None = None, resume_from: str | None = None,
                  checkpoint_path: str | None = None, checkpoint_every: int = 0,
                  collect_stats: bool = False):
+        if mesh is not None:
+            raise NotImplementedError(
+                "graph-level auto-sharding is not implemented yet: streaming "
+                "state (filter tails) needs halo exchange the compiler does "
+                "not yet insert automatically. Use the explicit sharded "
+                "pipelines in newsched_tpu.parallel (ShardedFMChannelizer, "
+                "ShardedFirFilter) for multi-chip execution."
+            )
         self.fg = fg
         self.mesh = mesh
         self.resume_from = resume_from

@@ -218,3 +218,35 @@ def test_prefs_env_override(monkeypatch):
     prefs.reset_cache()
     assert prefs.get("default_batch_size") == 4096
     prefs.reset_cache()
+
+
+def test_wav_roundtrip(tmp_path):
+    from newsched_tpu.blocks import audio as audio_blocks
+
+    path = str(tmp_path / "test.wav")
+    t = np.arange(48000) / 48000
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+
+    fg = Flowgraph(batch_size=8192)
+    src = general.vector_source(tone, dtype="rf32")
+    snk = audio_blocks.wav_sink(path, sample_rate=48000)
+    fg.connect(src, 0, snk, 0)
+    fg.run()
+
+    fg2 = Flowgraph(batch_size=8192)
+    src2 = audio_blocks.wav_source(path)
+    snk2 = general.vector_sink(dtype="rf32")
+    fg2.connect(src2, 0, snk2, 0)
+    fg2.run()
+    back = snk2.data()
+    assert back.shape == tone.shape
+    assert np.max(np.abs(back - tone)) < 1e-4
+
+
+def test_mesh_arg_rejected_with_guidance():
+    fg = Flowgraph(batch_size=64)
+    src = general.null_source()
+    snk = general.null_sink()
+    fg.connect(src, 0, snk, 0)
+    with pytest.raises(NotImplementedError, match="parallel"):
+        fg.run(mesh=object())
