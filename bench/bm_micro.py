@@ -13,10 +13,13 @@ f32 checksum fetched to force completion (see BASELINE.md notes).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _time_graph(build, n_items: int, batch: int):

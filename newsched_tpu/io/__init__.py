@@ -5,4 +5,4 @@ scoped to the one place the TPU design genuinely needs native code: keeping
 the host side of the ingest/egress pipe full (SURVEY.md §8 hard part #5).
 """
 
-from newsched_tpu.io.native_ring import VmcircRing, native_available  # noqa: F401
+from newsched_tpu.io.native_ring import StagingBuffer, VmcircRing, native_available  # noqa: F401

@@ -17,6 +17,7 @@
 #include <cstring>
 #include <cstdio>
 #include <fcntl.h>
+#include <poll.h>
 #include <pthread.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
@@ -32,9 +33,19 @@ struct Ring {
     // pump thread state
     pthread_t pump_thread{};
     int pump_fd = -1;
+    int pump_owns_fd = 1;      // close fd on destroy/stop (0 for borrowed fds)
     int pump_loop = 0;
     std::atomic<int> pump_running{0};
     std::atomic<int> pump_eof{0};
+    // drain (ring -> fd) thread state
+    pthread_t drain_thread{};
+    int drain_fd = -1;
+    int drain_owns_fd = 1;
+    double drain_rate = 0.0;   // bytes/s pacing; 0 = unpaced
+    size_t drain_chunk = 0;    // max bytes per write() (UDP datagram size); 0 = unlimited
+    std::atomic<int> drain_running{0};
+    std::atomic<int> drain_done{0};
+    std::atomic<uint64_t> drain_bytes{0};
 };
 
 void* pump_main(void* arg) {
@@ -48,6 +59,15 @@ void* pump_main(void* arg) {
             nanosleep(&ts, nullptr);
             continue;
         }
+        // poll so a blocking fd (idle socket) cannot wedge shutdown:
+        // the loop re-checks pump_running every 100 ms
+        struct pollfd pfd {r->pump_fd, POLLIN, 0};
+        int pr = poll(&pfd, 1, 100);
+        if (pr < 0) {
+            r->pump_eof.store(1, std::memory_order_release);
+            break;
+        }
+        if (pr == 0) continue;  // timeout: nothing readable yet
         uint8_t* dst = r->base + (head % r->size);
         ssize_t n = read(r->pump_fd, dst, space);
         if (n > 0) {
@@ -64,6 +84,56 @@ void* pump_main(void* arg) {
             break;
         }
     }
+    return nullptr;
+}
+
+// Drain thread: ring -> fd, optionally paced to drain_rate bytes/s
+// (the native analog of the reference's throttle block on the egress
+// side; unpaced it is a full-speed file/socket sink pump).
+void* drain_main(void* arg) {
+    Ring* r = static_cast<Ring*>(arg);
+    struct timespec start;
+    clock_gettime(CLOCK_MONOTONIC, &start);
+    while (r->drain_running.load(std::memory_order_acquire)) {
+        uint64_t head = r->head.load(std::memory_order_acquire);
+        uint64_t tail = r->tail.load(std::memory_order_relaxed);
+        size_t avail = static_cast<size_t>(head - tail);
+        if (avail == 0) {
+            if (r->pump_eof.load(std::memory_order_acquire)) break;
+            struct timespec ts {0, 200000};
+            nanosleep(&ts, nullptr);
+            continue;
+        }
+        if (r->drain_rate > 0.0) {
+            // only release bytes the rate budget allows
+            struct timespec now;
+            clock_gettime(CLOCK_MONOTONIC, &now);
+            double el = (now.tv_sec - start.tv_sec) + 1e-9 * (now.tv_nsec - start.tv_nsec);
+            uint64_t budget = static_cast<uint64_t>(el * r->drain_rate);
+            uint64_t sent = r->drain_bytes.load(std::memory_order_relaxed);
+            if (sent >= budget) {
+                struct timespec ts {0, 200000};
+                nanosleep(&ts, nullptr);
+                continue;
+            }
+            uint64_t allow = budget - sent;
+            if (avail > allow) avail = static_cast<size_t>(allow);
+        }
+        if (r->drain_chunk && avail > r->drain_chunk) avail = r->drain_chunk;
+        struct pollfd pfd {r->drain_fd, POLLOUT, 0};
+        int pr = poll(&pfd, 1, 100);
+        if (pr < 0) break;
+        if (pr == 0) continue;  // peer not writable yet; re-check running flag
+        uint8_t* src = r->base + (tail % r->size);
+        ssize_t n = write(r->drain_fd, src, avail);
+        if (n > 0) {
+            r->tail.store(tail + static_cast<uint64_t>(n), std::memory_order_release);
+            r->drain_bytes.fetch_add(static_cast<uint64_t>(n), std::memory_order_relaxed);
+        } else if (n < 0) {
+            break;  // sink error: stop draining (Python observes drain_done)
+        }
+    }
+    r->drain_done.store(1, std::memory_order_release);
     return nullptr;
 }
 
@@ -111,7 +181,12 @@ void ring_destroy(void* h) {
         r->pump_running.store(0);
         pthread_join(r->pump_thread, nullptr);
     }
-    if (r->pump_fd >= 0) close(r->pump_fd);
+    if (r->drain_running.load()) {
+        r->drain_running.store(0);
+        pthread_join(r->drain_thread, nullptr);
+    }
+    if (r->pump_fd >= 0 && r->pump_owns_fd) close(r->pump_fd);
+    if (r->drain_fd >= 0 && r->drain_owns_fd) close(r->drain_fd);
     munmap(r->base, 2 * r->size);
     delete r;
 }
@@ -197,6 +272,95 @@ void ring_stop_pump(void* h) {
         r->pump_running.store(0);
         pthread_join(r->pump_thread, nullptr);
     }
+}
+
+// Start a background thread streaming an already-open fd into the ring
+// (sockets, pipes, character devices — Python owns the fd lifecycle when
+// owns_fd=0). Generalizes the file pump: the reference's buffer_net/zmq
+// ingest path maps onto this, with Python only doing connection setup.
+int ring_start_fd_pump(void* h, int fd, int owns_fd) {
+    Ring* r = static_cast<Ring*>(h);
+    if (fd < 0) return -1;
+    r->pump_fd = fd;
+    r->pump_owns_fd = owns_fd;
+    r->pump_loop = 0;
+    r->pump_eof.store(0);
+    r->pump_running.store(1);
+    if (pthread_create(&r->pump_thread, nullptr, pump_main, r) != 0) {
+        r->pump_running.store(0);
+        r->pump_fd = -1;
+        return -2;
+    }
+    return 0;
+}
+
+// Mark producer-side end-of-stream so a drain pump can finish after the
+// ring empties (used when Python is the producer via ring_write).
+void ring_set_eof(void* h) {
+    static_cast<Ring*>(h)->pump_eof.store(1, std::memory_order_release);
+}
+
+// Start a background thread draining the ring into fd, optionally paced
+// to rate_bps bytes/s (0 = full speed). fd may be a file or socket.
+int ring_start_fd_drain(void* h, int fd, int owns_fd, double rate_bps,
+                        size_t max_chunk) {
+    Ring* r = static_cast<Ring*>(h);
+    if (fd < 0) return -1;
+    r->drain_fd = fd;
+    r->drain_owns_fd = owns_fd;
+    r->drain_rate = rate_bps;
+    r->drain_chunk = max_chunk;
+    r->drain_done.store(0);
+    r->drain_bytes.store(0);
+    r->drain_running.store(1);
+    if (pthread_create(&r->drain_thread, nullptr, drain_main, r) != 0) {
+        r->drain_running.store(0);
+        r->drain_fd = -1;
+        return -2;
+    }
+    return 0;
+}
+
+int ring_start_file_drain(void* h, const char* path, double rate_bps) {
+    int fd = open(path, O_WRONLY | O_CREAT | O_TRUNC, 0644);
+    if (fd < 0) return -1;
+    int rc = ring_start_fd_drain(h, fd, 1, rate_bps, 0);
+    if (rc != 0) close(fd);
+    return rc;
+}
+
+int ring_drain_done(void* h) { return static_cast<Ring*>(h)->drain_done.load(); }
+
+uint64_t ring_drain_bytes(void* h) {
+    return static_cast<Ring*>(h)->drain_bytes.load(std::memory_order_relaxed);
+}
+
+void ring_stop_drain(void* h) {
+    Ring* r = static_cast<Ring*>(h);
+    if (r->drain_running.load()) {
+        r->drain_running.store(0);
+        pthread_join(r->drain_thread, nullptr);
+    }
+}
+
+// -- aligned staging allocator -------------------------------------------
+// Page-aligned, populated buffers for host<->device staging (the analog of
+// the reference's buffer_properties-driven allocation + CUDA pinned
+// buffers): MAP_POPULATE avoids first-touch faults in the hot ingest loop,
+// MADV_HUGEPAGE lets the kernel back large staging areas with THP.
+
+void* staging_alloc(size_t nbytes) {
+    void* p = mmap(nullptr, nbytes, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS | MAP_POPULATE, -1, 0);
+    if (p == MAP_FAILED) return nullptr;
+#ifdef MADV_HUGEPAGE
+    if (nbytes >= (2u << 20)) madvise(p, nbytes, MADV_HUGEPAGE);
+#endif
+    return p;
+}
+
+void staging_free(void* p, size_t nbytes) {
+    if (p) munmap(p, nbytes);
 }
 
 }  // extern "C"

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -159,11 +161,15 @@ def _mxu_fir(xfull: jax.Array, taps_np: np.ndarray, n_out: int, decim: int) -> j
     elif _is_complex(Z) and _is_complex(H):
         zr, zi = jnp.real(Z).astype(jnp.float32), jnp.imag(Z).astype(jnp.float32)
         hr, hi = jnp.real(H).astype(jnp.float32), jnp.imag(H).astype(jnp.float32)
-        yr = zr @ hr - zi @ hi
-        yi = zr @ hi + zi @ hr
+        mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+        yr = mm(zr, hr) - mm(zi, hi)
+        yi = mm(zr, hi) + mm(zi, hr)
         y = jax.lax.complex(yr, yi).reshape(-1)
     else:
-        y = (Z.astype(jnp.float32) @ H.astype(jnp.float32)).reshape(-1)
+        # HIGHEST: default MXU precision is bf16-ish and costs ~18 dB of
+        # SNR on a 65-tap audio FIR (measured — failed the 60 dB gate)
+        y = jnp.matmul(Z.astype(jnp.float32), H.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST).reshape(-1)
     return y[:n_out]
 
 
@@ -261,9 +267,14 @@ def fir_filter(
     n_out = B // decim
     xfull = jnp.concatenate([state.tail, x]) if ntaps > 1 else x
     if method == "auto":
+        # Measured on v5e (bench/bm_stages.py): the Toeplitz-MXU path beats
+        # XLA conv even for decimating FIRs (65 taps / decim 8: 7.4 vs 4.0
+        # Gsps) — redundant MXU FLOPs are cheaper than conv's windowing.
+        # Guard against extreme decimation where the tap matrix goes nearly
+        # empty and the haloed frames re-read the input decim-fold.
         if ntaps > 384:
             method = "fft"
-        elif decim <= 4 and taps_static:
+        elif taps_static and decim <= max(4, ntaps // 8):
             method = "mxu"
         else:
             method = "conv"

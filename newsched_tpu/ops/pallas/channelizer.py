@@ -59,9 +59,16 @@ def arm_fold_reference(v: jax.Array, c2: jax.Array, n_out: int) -> jax.Array:
     return acc
 
 
-def _kernel(v_hbm, c_ref, out_ref, scratch, sem, *, T: int, L: int):
+def _round8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _kernel(v_hbm, c_ref, out_ref, scratch, sem, *, T: int, L: int, H8: int):
+    # Window rows [i*T, i*T + T + H8) of the padded input: tile + 8-aligned
+    # halo in one DMA (window row count and start offset both 8-aligned,
+    # which hardware DMA requires to be efficient/safe for f32 tiles).
     i = pl.program_id(0)
-    dma = pltpu.make_async_copy(v_hbm.at[pl.ds(i * T, T + L - 1), :], scratch, sem)
+    dma = pltpu.make_async_copy(v_hbm.at[pl.ds(i * T, T + H8), :], scratch, sem)
     dma.start()
     dma.wait()
     acc = c_ref[0][None, :] * scratch[0:T, :]
@@ -76,18 +83,26 @@ def arm_fold(v: jax.Array, c2: np.ndarray, n_out: int, tile: int = 512,
 
     v: (need, W) f32, need >= n_out + L - 1, W a multiple of 128 (use
     M >= 64 channels, or pad); c2: (L, W) static taps (interleave_taps);
-    returns (n_out, W) f32. n_out must divide by `tile`.
+    returns (n_out, W) f32. The tile is auto-shrunk to a divisor of n_out.
     """
     L, W = int(c2.shape[0]), int(c2.shape[1])
     if n_out % tile != 0:
         if n_out <= tile:
             tile = n_out
         else:
-            raise ValueError(f"n_out {n_out} not divisible by tile {tile}")
+            # largest divisor of n_out that is <= tile (grid must cover n_out
+            # exactly)
+            tile = next(t for t in range(tile, 0, -1) if n_out % t == 0)
     if not interpret and W % 128 != 0:
         raise ValueError(f"lane width {W} must be a multiple of 128 on TPU")
+    H8 = _round8(L - 1)  # 8-aligned halo row count
+    need_pad = n_out + H8
+    if int(v.shape[0]) < need_pad:
+        v = jnp.pad(v, ((0, need_pad - int(v.shape[0])), (0, 0)))
+    elif int(v.shape[0]) > need_pad:
+        v = v[:need_pad]
     grid = (n_out // tile,)
-    kernel = functools.partial(_kernel, T=tile, L=L)
+    kernel = functools.partial(_kernel, T=tile, L=L, H8=H8)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -98,9 +113,14 @@ def arm_fold(v: jax.Array, c2: np.ndarray, n_out: int, tile: int = 512,
         out_specs=pl.BlockSpec((tile, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_out, W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile + L - 1, W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((tile + H8, W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_out * W * L,
+            bytes_accessed=(n_out + H8) * W * 4 + n_out * W * 4,
+            transcendentals=0,
+        ),
         interpret=interpret,
     )(v, jnp.asarray(c2, jnp.float32))
 

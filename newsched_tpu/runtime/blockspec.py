@@ -119,6 +119,86 @@ def block_from_yaml(descriptor: str, work: Callable | None = None) -> type[Block
     return cls
 
 
+_GRC_DTYPE = {
+    "cf32": "complex", "rf32": "float", "ri32": "int", "ri16": "short",
+    "ru8": "byte",
+    # numpy spellings (introspected parameter dtypes)
+    "complex64": "complex", "float32": "float", "float64": "real",
+    "int32": "int", "int64": "int", "int16": "short", "uint8": "byte",
+    "bool": "bool",
+}
+
+
+def grc_yaml(block_or_cls, module: str | None = None) -> str:
+    """Render GRC-companion metadata for a block — the reference
+    blockbuilder's third output (public header, pybind, **GRC yml**;
+    SURVEY.md §3.5). Accepts a class built by block_from_yaml (uses its
+    yaml_spec) or any Block instance (introspects ports/params).
+
+    The output follows the GRC 4.0 block-description format: id, label,
+    parameters (id/label/dtype/default), inputs/outputs (domain/dtype),
+    and a python instantiation template."""
+    if isinstance(block_or_cls, type):
+        spec = getattr(block_or_cls, "yaml_spec", None)
+        if spec is None:
+            raise ValueError("class has no yaml_spec; pass an instance instead")
+        mod = module or spec.get("module", "newsched_tpu")
+        blk = spec["block"]
+        params = [{
+            "id": p["id"], "label": p.get("label", p["id"]),
+            "dtype": _GRC_DTYPE.get(p.get("dtype", "float"), "raw"),
+            **({"default": p["default"]} if "default" in p else {}),
+        } for p in spec.get("parameters", [])]
+        inputs = [{"domain": "stream", "id": p["id"],
+                   "dtype": _GRC_DTYPE.get(p["type"], "raw")}
+                  for p in spec.get("ports", []) if p["direction"] == "input"]
+        outputs = [{"domain": "stream", "id": p["id"],
+                    "dtype": _GRC_DTYPE.get(p["type"], "raw")}
+                   for p in spec.get("ports", []) if p["direction"] == "output"]
+        label = spec.get("label", blk)
+    else:
+        b = block_or_cls
+        mod = module or type(b).__module__.rsplit(".", 1)[-1]
+        blk = type(b).__name__
+        label = (b.__doc__ or blk).strip().splitlines()[0]
+        params = [{
+            "id": pid,
+            "label": spec.doc or pid,
+            "dtype": _GRC_DTYPE.get(np.dtype(spec.dtype).name if spec.dtype else "",
+                                    "raw"),
+            "default": _plain(b.get_param(pid)),
+        } for pid, spec in b._param_specs.items()]
+        inputs = [{"domain": "stream", "id": p.name, "dtype": _GRC_DTYPE.get(p.dtype.name, "raw")}
+                  for p in b.inputs]
+        outputs = [{"domain": "stream", "id": p.name, "dtype": _GRC_DTYPE.get(p.dtype.name, "raw")}
+                   for p in b.outputs]
+
+    doc = {
+        "id": f"{mod}_{blk}",
+        "label": label,
+        "category": f"[{mod}]",
+        "parameters": params,
+        "inputs": inputs,
+        "outputs": outputs,
+        "templates": {
+            "imports": f"from newsched_tpu.blocks import {mod}",
+            "make": f"{mod}.{blk}(" + ", ".join(
+                f"{p['id']}=${{{p['id']}}}" for p in params) + ")",
+        },
+        "file_format": 1,
+    }
+    return yaml.safe_dump(doc, sort_keys=False)
+
+
+def _plain(v):
+    """YAML-safe scalar for defaults."""
+    if isinstance(v, (np.generic, np.ndarray)):
+        v = v.item() if np.ndim(v) == 0 else np.asarray(v).tolist()
+    if isinstance(v, complex):
+        return repr(v)
+    return v
+
+
 def load_module(yaml_dir: str) -> dict[str, type[Block]]:
     """Load every .yml descriptor in a directory (the reference's per-module
     build step)."""

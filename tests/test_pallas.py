@@ -52,8 +52,13 @@ def test_pfb_arm_fold_complex_matches_jnp_pfb():
     np.testing.assert_allclose(got, np.asarray(acc_ref), rtol=1e-5, atol=1e-5)
 
 
-def test_arm_fold_rejects_bad_tile():
-    v = jnp.zeros((1536 + 3, 128), jnp.float32)
-    c2 = np.zeros((4, 128), np.float32)
-    with pytest.raises(ValueError, match="not divisible"):
-        arm_fold(v, c2, 1536, tile=1024, interpret=True)
+def test_arm_fold_auto_tile():
+    """A tile that does not divide n_out is shrunk to the largest divisor,
+    and the result still matches the reference."""
+    rng = np.random.default_rng(3)
+    W, L, n_out = 128, 4, 1536
+    v = jnp.asarray(rng.standard_normal((n_out + L - 1, W)).astype(np.float32))
+    c2 = rng.standard_normal((L, W)).astype(np.float32)
+    ref = np.asarray(arm_fold_reference(v, jnp.asarray(c2), n_out))
+    got = np.asarray(arm_fold(v, c2, n_out, tile=1024, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
