@@ -72,7 +72,7 @@ def _time_scan(step, init_carry, n_samples):
     return n_samples * K / best
 
 
-def _pfb(method):
+def _pfb(method, combine="fft"):
     import jax.numpy as jnp
 
     from newsched_tpu.ops import firdes, pfb as pfb_ops
@@ -85,7 +85,8 @@ def _pfb(method):
 
     def step(carry):
         st = pfb_ops.PfbState(tail=cplx.decode(carry))
-        st2, Y = pfb_ops.pfb_channelize(arm, st, cplx.decode(xp), method=method)
+        st2, Y = pfb_ops.pfb_channelize(arm, st, cplx.decode(xp), method=method,
+                                        combine=combine)
         return cplx.encode(st2.tail), jnp.sum(jnp.abs(jnp.real(Y)))
 
     import jax
@@ -102,6 +103,14 @@ def bm_pfb_sum():
 
 def bm_pfb_pallas():
     return _pfb("pallas")
+
+
+def bm_pfb_pallas_mm():
+    return _pfb("pallas", combine="matmul")
+
+
+def bm_pfb_sum_mm():
+    return _pfb("sum", combine="matmul")
 
 
 def bm_demod():
@@ -158,7 +167,7 @@ def bm_audio_mxu():
     return _audio("mxu")
 
 
-def _chain(pfb_method, audio_method):
+def _chain(pfb_method, audio_method, pfb_combine="fft"):
     from newsched_tpu.ops import firdes
     from newsched_tpu.parallel import ShardedFMChannelizer, make_mesh
 
@@ -167,7 +176,8 @@ def _chain(pfb_method, audio_method):
                                  ntaps=AUDIO_NTAPS)
     ch = ShardedFMChannelizer(make_mesh(), M, taps, audio_taps,
                               audio_decim=AUDIO_DECIM, demod_gain=0.5,
-                              audio_method=audio_method, pfb_method=pfb_method)
+                              audio_method=audio_method, pfb_method=pfb_method,
+                              pfb_combine=pfb_combine)
     xp = _mk_input((B,))
 
     def step(state):
@@ -195,9 +205,15 @@ def bm_chain_pallas_mxu():
     return _chain("pallas", "mxu")
 
 
+def bm_chain_pallas_mxu_mm():
+    return _chain("pallas", "mxu", pfb_combine="matmul")
+
+
 ALL = {
     "pfb_sum": bm_pfb_sum,
     "pfb_pallas": bm_pfb_pallas,
+    "pfb_pallas_mm": bm_pfb_pallas_mm,
+    "pfb_sum_mm": bm_pfb_sum_mm,
     "demod": bm_demod,
     "audio_conv": bm_audio_conv,
     "audio_mxu": bm_audio_mxu,
@@ -205,6 +221,7 @@ ALL = {
     "chain_pallas_conv": bm_chain_pallas_conv,
     "chain_sum_mxu": bm_chain_sum_mxu,
     "chain_pallas_mxu": bm_chain_pallas_mxu,
+    "chain_pallas_mxu_mm": bm_chain_pallas_mxu_mm,
 }
 
 

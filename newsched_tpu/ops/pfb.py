@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -83,6 +85,7 @@ def pfb_channelize(
     state: PfbState,
     x: jax.Array,
     method: str = "auto",
+    combine: str = "auto",
 ) -> tuple[PfbState, jax.Array]:
     """Channelize one batch.
 
@@ -133,11 +136,38 @@ def pfb_channelize(
             )
     else:
         raise ValueError(f"unknown pfb method {method!r}")
-    k = np.arange(M)
-    twiddle = jnp.asarray(np.exp(-2j * np.pi * k / M).astype(np.complex64))
-    Y = (jnp.fft.fft(acc, axis=-1) * twiddle[None, :]).astype(jnp.complex64)
+    Y = _phase_combine(acc, M, combine)
     new_tail = xfull[-(ntaps - 1):]
     return PfbState(tail=new_tail), Y  # (n_out, M)
+
+
+def _phase_combine(acc: jax.Array, M: int, combine: str) -> jax.Array:
+    """The across-arms combine: y[:, k] = twiddle[k] * FFT_q(acc)[:, k]
+    with twiddle = e^{-j 2 pi k / M} (ops/pfb.py derivation).
+
+    combine="fft": XLA FFT + twiddle multiply. combine="matmul": one
+    (M, M) complex DFT matrix with the twiddle absorbed, contracted on the
+    MXU as four real matmuls. Measured on v5e (bench/bm_stages.py, M=64):
+    matmul wins standalone (4.0 vs 3.8 Gsps) but consistently LOSES inside
+    the full channelizer+demod chain (3.3-3.4 vs 3.4-3.5 Gsps) — the FFT
+    overlaps better with the neighboring stages — so "auto" = fft.
+    """
+    if combine == "auto":
+        combine = "fft"
+    k = np.arange(M)
+    tw = np.exp(-2j * np.pi * k / M)
+    if combine == "fft":
+        twiddle = jnp.asarray(tw.astype(np.complex64))
+        return (jnp.fft.fft(acc, axis=-1) * twiddle[None, :]).astype(jnp.complex64)
+    if combine != "matmul":
+        raise ValueError(f"unknown pfb combine {combine!r}")
+    # W[q, k] = e^{-j 2 pi q k / M} * tw[k]; FFT convention: X_k = sum_q x_q W
+    W = np.exp(-2j * np.pi * np.outer(k, k) / M) * tw[None, :]
+    Wr = jnp.asarray(W.real.astype(np.float32))
+    Wi = jnp.asarray(W.imag.astype(np.float32))
+    ar, ai = jnp.real(acc), jnp.imag(acc)
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.complex(mm(ar, Wr) - mm(ai, Wi), mm(ar, Wi) + mm(ai, Wr))
 
 
 def pfb_decimate(

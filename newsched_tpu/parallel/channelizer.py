@@ -57,7 +57,8 @@ class ShardedFMChannelizer:
     def __init__(self, mesh: Mesh, nchans: int, taps: np.ndarray,
                  audio_taps: np.ndarray, audio_decim: int = 8,
                  demod_gain: float = 1.0, axis: str = "t",
-                 audio_method: str = "auto", pfb_method: str = "auto"):
+                 audio_method: str = "auto", pfb_method: str = "auto",
+                 pfb_combine: str = "auto"):
         self.mesh = mesh
         self.axis = axis
         self.n_dev = mesh.shape[axis]
@@ -88,7 +89,7 @@ class ShardedFMChannelizer:
             # demod_prev: (M/n,), audio_tail: (M/n, A-1) local channel shard.
             halo, new_carry = time_halo(x_seg, pfb_carry, axis_name)
             _, Y = pfb_ops.pfb_channelize(arm, pfb_ops.PfbState(tail=halo), x_seg,
-                                          method=pfb_method)
+                                          method=pfb_method, combine=pfb_combine)
             # Y: (seg/M, M) local. Corner turn -> (seg/M * n, M/n).
             Yc = lax.all_to_all(Y, axis_name, split_axis=1, concat_axis=0, tiled=True)
             # Per-channel quadrature demod over full batch time.
@@ -114,7 +115,7 @@ class ShardedFMChannelizer:
 
             def single_step(x, pfb_carry, demod_prev, audio_tail):
                 _, Y = pfb_ops.pfb_channelize(arm, pfb_ops.PfbState(tail=pfb_carry), x,
-                                              method=pfb_method)
+                                              method=pfb_method, combine=pfb_combine)
                 xprev = jnp.concatenate([demod_prev[None, :], Y[:-1]], axis=0)
                 p = jnp.conj(xprev) * Y
                 aud = jnp.arctan2(jnp.imag(p), jnp.real(p)) * gain
