@@ -63,7 +63,11 @@ def numpy_reference(x: np.ndarray, taps, audio_taps) -> np.ndarray:
         filt[p] = np.correlate(V[p], arm[p][::-1], mode="valid")[:n_out]
     Y = (M * np.fft.ifft(filt, axis=0)).T  # (n_out, M)
     prev = np.vstack([np.zeros((1, M), np.complex128), Y[:-1]])
-    aud = np.angle(np.conj(prev) * Y) * DEMOD_GAIN
+    # Convention: demod against zero history emits exactly 0 (otherwise the
+    # result is a signed-zero artifact — atan2(+-0, +-0) lands anywhere in
+    # {0, +-pi} depending on bit signs, which no two backends agree on).
+    aud = np.where((prev == 0) | (Y == 0), 0.0,
+                   np.angle(np.conj(prev) * Y)) * DEMOD_GAIN
     out = np.empty((n_out // AUDIO_DECIM, M), np.float64)
     for c in range(M):
         out[:, c] = sig.lfilter(audio_taps.astype(np.float64), [1.0], aud[:, c])[::AUDIO_DECIM]

@@ -113,6 +113,10 @@ def bm_pfb_sum_mm():
     return _pfb("sum", combine="matmul")
 
 
+def bm_pfb_fused():
+    return _pfb("fused")
+
+
 def bm_demod():
     import jax.numpy as jnp
 
@@ -167,7 +171,8 @@ def bm_audio_mxu():
     return _audio("mxu")
 
 
-def _chain(pfb_method, audio_method, pfb_combine="fft"):
+def _chain(pfb_method, audio_method, pfb_combine="fft",
+           chain_method="stages"):
     from newsched_tpu.ops import firdes
     from newsched_tpu.parallel import ShardedFMChannelizer, make_mesh
 
@@ -177,7 +182,7 @@ def _chain(pfb_method, audio_method, pfb_combine="fft"):
     ch = ShardedFMChannelizer(make_mesh(), M, taps, audio_taps,
                               audio_decim=AUDIO_DECIM, demod_gain=0.5,
                               audio_method=audio_method, pfb_method=pfb_method,
-                              pfb_combine=pfb_combine)
+                              pfb_combine=pfb_combine, chain_method=chain_method)
     xp = _mk_input((B,))
 
     def step(state):
@@ -209,11 +214,20 @@ def bm_chain_pallas_mxu_mm():
     return _chain("pallas", "mxu", pfb_combine="matmul")
 
 
+def bm_chain_fused_mxu():
+    return _chain("fused", "mxu")
+
+
+def bm_chain_mega():
+    return _chain("fused", "mxu", chain_method="megakernel")
+
+
 ALL = {
     "pfb_sum": bm_pfb_sum,
     "pfb_pallas": bm_pfb_pallas,
     "pfb_pallas_mm": bm_pfb_pallas_mm,
     "pfb_sum_mm": bm_pfb_sum_mm,
+    "pfb_fused": bm_pfb_fused,
     "demod": bm_demod,
     "audio_conv": bm_audio_conv,
     "audio_mxu": bm_audio_mxu,
@@ -222,6 +236,8 @@ ALL = {
     "chain_sum_mxu": bm_chain_sum_mxu,
     "chain_pallas_mxu": bm_chain_pallas_mxu,
     "chain_pallas_mxu_mm": bm_chain_pallas_mxu_mm,
+    "chain_fused_mxu": bm_chain_fused_mxu,
+    "chain_mega": bm_chain_mega,
 }
 
 

@@ -1,0 +1,73 @@
+"""Elementwise math for Pallas TPU kernels that Mosaic does not lower.
+
+``atan2`` has no Pallas TPU lowering (NotImplementedError as of jax 0.9),
+and the quadrature demodulator is built on it — so implement it with the
+standard argument-reduction + odd-polynomial scheme, VPU-only ops
+(abs/min/max/div/FMA/select):
+
+    z = min(|x|,|y|) / max(|x|,|y|)          z in [0, 1]
+    a = atan(z)      via odd polynomial in z
+    a = pi/2 - a     if |y| > |x|
+    a = pi  - a      if x < 0
+    a = -a           if y < 0
+
+The polynomial coefficients are least-squares-fit on Chebyshev nodes at
+import time (float64, then cast) rather than transcribed from a table —
+reproducible and checkable. Degree 9 in z^2 gives < 1e-7 max error on
+[0, 1], comfortably below float32 resolution of the surrounding math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+_DEG = 9  # polynomial degree in z^2 (odd powers z, z^3, ..., z^19)
+
+
+def _fit_atan_coeffs(deg: int = _DEG) -> np.ndarray:
+    """atan(z) ~ z * sum_k c[k] * (z^2)^k on [0, 1] (c[0] ~ 1)."""
+    n = 2048
+    # Chebyshev nodes mapped to (0, 1] — dense near the tricky z=1 end.
+    z = (1 - np.cos(np.pi * (np.arange(n) + 0.5) / n)) / 2
+    z = np.clip(z, 1e-9, 1.0)
+    w = z * z
+    A = np.stack([z * w**k for k in range(deg + 1)], axis=1)
+    c, *_ = np.linalg.lstsq(A, np.arctan(z), rcond=None)
+    return c.astype(np.float32)
+
+
+_COEFFS = _fit_atan_coeffs()
+_MAX_FIT_ERR = float(
+    np.abs(
+        np.polynomial.polynomial.polyval(
+            np.linspace(0, 1, 4001) ** 2, _COEFFS.astype(np.float64)
+        )
+        * np.linspace(0, 1, 4001)
+        - np.arctan(np.linspace(0, 1, 4001))
+    ).max()
+)
+assert _MAX_FIT_ERR < 5e-7, _MAX_FIT_ERR
+
+
+def atan2(y, x):
+    """Pallas-safe elementwise atan2(y, x), float32 in/out.
+
+    Matches jnp.arctan2 to ~1e-6 absolute everywhere including the axes;
+    (0, 0) returns 0 like the IEEE convention for +0/+0.
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    z = lo / jnp.maximum(hi, jnp.float32(1e-37))  # [0,1]; guards 0/0
+    w = z * z
+    acc = jnp.full_like(z, _COEFFS[_DEG])
+    for k in range(_DEG - 1, -1, -1):
+        acc = acc * w + jnp.float32(_COEFFS[k])
+    a = z * acc
+    pi = jnp.float32(np.pi)
+    a = jnp.where(ay > ax, pi * 0.5 - a, a)
+    a = jnp.where(x < 0, pi - a, a)
+    return jnp.where(y < 0, -a, a)

@@ -123,7 +123,16 @@ def pfb_channelize(
     arm_np = np.asarray(arm_taps, dtype=np.float32)
     c = arm_np[::-1, ::-1].T  # (L, M): c[s, q] = arm[M-1-q, L-1-s]
     if method == "auto":
-        method = "pallas" if _pallas_ok(M) else "sum"
+        # v5e measurements (bench/bm_stages.py): fused 4725 > pallas 3772 >
+        # sum 3261 Msps standalone; chain 3657 > 3428 > 3078.
+        method = "fused" if _pallas_ok(M) else "sum"
+    if method == "fused":
+        # Fold + phase combine in one kernel (one HBM read, one MXU matmul,
+        # one HBM write); `combine` is inherently part of the kernel.
+        from newsched_tpu.ops.pallas.channelizer import pfb_channelize_fused
+
+        Y = pfb_channelize_fused(V, c, n_out)
+        return PfbState(tail=xfull[-(ntaps - 1):]), Y
     if method == "pallas":
         from newsched_tpu.ops.pallas.channelizer import pfb_arm_fold_complex
 

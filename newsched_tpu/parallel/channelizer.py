@@ -58,7 +58,7 @@ class ShardedFMChannelizer:
                  audio_taps: np.ndarray, audio_decim: int = 8,
                  demod_gain: float = 1.0, axis: str = "t",
                  audio_method: str = "auto", pfb_method: str = "auto",
-                 pfb_combine: str = "auto"):
+                 pfb_combine: str = "auto", chain_method: str = "auto"):
         self.mesh = mesh
         self.axis = axis
         self.n_dev = mesh.shape[axis]
@@ -95,7 +95,10 @@ class ShardedFMChannelizer:
             # Per-channel quadrature demod over full batch time.
             xprev = jnp.concatenate([demod_prev[None, :], Yc[:-1]], axis=0)
             p = jnp.conj(xprev) * Yc
-            aud = jnp.arctan2(jnp.imag(p), jnp.real(p)) * gain  # (T, M/n) f32
+            # zero history -> exactly 0 (signed-zero-free convention; see
+            # bench.py numpy_reference and ops/pallas/fm_chain.py)
+            aud = jnp.where((xprev == 0) | (Yc == 0), jnp.float32(0),
+                            jnp.arctan2(jnp.imag(p), jnp.real(p))) * gain
             new_prev = Yc[-1]
             # Audio FIR + decimation per channel (vmap streaming kernel).
             def one(tail, ch):
@@ -106,7 +109,43 @@ class ShardedFMChannelizer:
             new_tails, ys = jax.vmap(one)(audio_tail, aud.T.astype(jnp.float32))
             return ys.T, new_carry, new_prev, new_tails
 
-        if self.n_dev == 1:
+        A = len(self.audio_taps)
+        if chain_method == "auto":
+            # The fused full-chain kernel (ops/pallas/fm_chain.py) fuses
+            # demod into the per-device pass BEFORE the corner turn, so it
+            # only applies single-device; multi-device keeps the staged
+            # corner-turn layout. Constraints mirror the kernel's.
+            chain_method = ("megakernel"
+                            if (self.n_dev == 1 and pfb_ops._pallas_ok(M)
+                                and 512 % decim == 0 and A - 1 <= 512)
+                            else "stages")
+        self.chain_method = chain_method
+
+        if self.n_dev == 1 and chain_method == "megakernel":
+            from newsched_tpu.ops.pallas.fm_chain import fm_chain_step
+
+            H = self.ntaps - 1
+            c_fold = arm[::-1, ::-1].T.copy()  # (L, M), ops/pfb.py layout
+
+            def mega_step(x, pfb_carry, demod_prev, audio_tail):
+                B = int(x.shape[0])
+                n_out = B // M
+                xfull = jnp.concatenate([pfb_carry, x])
+                V = xfull[: (L - 1 + n_out) * M].reshape(L - 1 + n_out, M)
+                prev_p = jnp.concatenate(
+                    [jnp.real(demod_prev), jnp.imag(demod_prev)])[None, :]
+                tail_p = jnp.concatenate([audio_tail.T, audio_tail.T], axis=1)
+                aud, prev2, tail2 = fm_chain_step(
+                    jnp.real(V).astype(jnp.float32),
+                    jnp.imag(V).astype(jnp.float32),
+                    prev_p.astype(jnp.float32), tail_p.astype(jnp.float32),
+                    c_fold, ataps, decim, float(gain), n_out)
+                new_prev = jax.lax.complex(prev2[0, :M], prev2[0, M:])
+                new_tails = tail2[:, :M].T
+                return aud, x[-H:], new_prev, new_tails
+
+            self._spmd_step = mega_step
+        elif self.n_dev == 1:
             # Single device: identical math without shard_map. The
             # collectives would be no-ops anyway, and the axon TPU backend's
             # remote compile chokes on single-device SPMD programs; this is
@@ -118,7 +157,8 @@ class ShardedFMChannelizer:
                                               method=pfb_method, combine=pfb_combine)
                 xprev = jnp.concatenate([demod_prev[None, :], Y[:-1]], axis=0)
                 p = jnp.conj(xprev) * Y
-                aud = jnp.arctan2(jnp.imag(p), jnp.real(p)) * gain
+                aud = jnp.where((xprev == 0) | (Y == 0), jnp.float32(0),
+                                jnp.arctan2(jnp.imag(p), jnp.real(p))) * gain
                 def one(tail, ch):
                     st, y = fir_ops.fir_filter(ataps, fir_ops.FirState(tail=tail), ch,
                                                decim=decim, method=audio_method)

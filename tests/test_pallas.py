@@ -62,3 +62,92 @@ def test_arm_fold_auto_tile():
     ref = np.asarray(arm_fold_reference(v, jnp.asarray(c2), n_out))
     got = np.asarray(arm_fold(v, c2, n_out, tile=1024, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_fold_dft_matches_two_step():
+    """arm_fold_dft == (arm fold -> interleaved DFT) == pfb_channelize."""
+    from newsched_tpu.ops import pfb as pfb_ops
+    from newsched_tpu.ops.pallas.channelizer import pfb_channelize_fused
+
+    M, L, n_out = 64, 8, 256
+    rng = np.random.default_rng(5)
+    taps = rng.standard_normal(M * L).astype(np.float32)
+    arm = pfb_ops.pfb_arm_taps(taps, M)
+    x = (rng.standard_normal(n_out * M) + 1j * rng.standard_normal(n_out * M)
+         ).astype(np.complex64)
+    st = pfb_ops.pfb_init_state(M * L)
+    _, Y_ref = pfb_ops.pfb_channelize(arm, st, jnp.asarray(x), method="sum")
+    xfull = jnp.concatenate([st.tail, jnp.asarray(x)])
+    V = xfull[: (L - 1 + n_out) * M].reshape(L - 1 + n_out, M)
+    c = np.asarray(arm)[::-1, ::-1].T.copy()
+    Y = pfb_channelize_fused(V, c, n_out, interpret=True)
+    ref = np.asarray(Y_ref)
+    err = np.abs(np.asarray(Y) - ref).max() / np.abs(ref).max()
+    assert err < 2e-6, err
+
+
+def test_fm_chain_megakernel_matches_jnp_chain():
+    """The fused full-chain kernel (fold + DFT + demod + audio FIR) must
+    reproduce the composed jnp chain exactly, including streaming state
+    across two batches."""
+    from newsched_tpu.ops import fir as fir_ops, pfb as pfb_ops
+    from newsched_tpu.ops.pallas.fm_chain import fm_chain_step
+
+    M, L, A, decim, gain = 64, 8, 33, 4, 0.7
+    n_out = 256
+    B = n_out * M
+    rng = np.random.default_rng(6)
+    taps = rng.standard_normal(M * L).astype(np.float32) * 0.1
+    ataps = rng.standard_normal(A).astype(np.float32) * 0.2
+    arm = pfb_ops.pfb_arm_taps(taps, M)
+    c = np.asarray(arm)[::-1, ::-1].T.copy()
+
+    def jnp_chain(x, tail, prev, ftails):
+        st, Y = pfb_ops.pfb_channelize(arm, pfb_ops.PfbState(tail=tail),
+                                       jnp.asarray(x), method="sum")
+        xprev = jnp.concatenate([prev[None, :], Y[:-1]], axis=0)
+        p = jnp.conj(xprev) * Y
+        aud = jnp.arctan2(jnp.imag(p), jnp.real(p)) * gain
+
+        def one(t, ch):
+            s2, y = fir_ops.fir_filter(ataps, fir_ops.FirState(tail=t), ch,
+                                       decim=decim, method="conv")
+            return s2.tail, y
+
+        import jax as _jax
+
+        ftails2, ys = _jax.vmap(one)(ftails, aud.T.astype(jnp.float32))
+        return ys.T, st.tail, Y[-1], ftails2
+
+    def fused(x, tail, prev_p, tail_p):
+        xfull = jnp.concatenate([tail, jnp.asarray(x)])
+        V = xfull[: (L - 1 + n_out) * M].reshape(L - 1 + n_out, M)
+        return fm_chain_step(jnp.real(V).astype(jnp.float32),
+                             jnp.imag(V).astype(jnp.float32),
+                             prev_p, tail_p, c, ataps, decim, gain, n_out,
+                             tile=128, interpret=True)
+
+    # batch 1 (zero state) then batch 2 (carried state) — exactness across
+    # the boundary is the point
+    tail = jnp.zeros((M * L - 1,), jnp.complex64)
+    prev = jnp.zeros((M,), jnp.complex64)
+    ftails = jnp.zeros((M, A - 1), jnp.float32)
+    prev_p = jnp.zeros((1, 2 * M), jnp.float32)
+    tail_p = jnp.zeros((A - 1, 2 * M), jnp.float32)
+    for bi in range(2):
+        x = (rng.standard_normal(B) + 1j * rng.standard_normal(B)
+             ).astype(np.complex64)
+        ref_aud, tail2, prev2, ftails2 = jnp_chain(x, tail, prev, ftails)
+        got_aud, prev_p2, tail_p2 = fused(x, tail, prev_p, tail_p)
+        np.testing.assert_allclose(np.asarray(got_aud), np.asarray(ref_aud),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"audio batch {bi}")
+        # returned planes state must equal the reference complex state
+        np.testing.assert_allclose(np.asarray(prev_p2)[0, :M],
+                                   np.real(np.asarray(prev2)), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(prev_p2)[0, M:],
+                                   np.imag(np.asarray(prev2)), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(tail_p2)[:, :M],
+                                   np.asarray(ftails2).T, rtol=2e-4, atol=2e-5)
+        tail, prev, ftails = tail2, prev2, ftails2
+        prev_p, tail_p = prev_p2, tail_p2

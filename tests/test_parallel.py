@@ -29,7 +29,10 @@ def _reference_chain(x, nchans, taps, audio_taps, audio_decim, gain, batches):
         pfb_st, Y = pfb_ops.pfb_channelize(arm, pfb_st, xb)
         xprev = jnp.concatenate([prev[None], Y[:-1]], axis=0)
         p = jnp.conj(xprev) * Y
-        aud = jnp.arctan2(jnp.imag(p), jnp.real(p)) * gain
+        # zero-history convention: demod emits exactly 0 (matches
+        # parallel/channelizer.py and ops/pallas/fm_chain.py)
+        aud = jnp.where((xprev == 0) | (Y == 0), jnp.float32(0),
+                        jnp.arctan2(jnp.imag(p), jnp.real(p))) * gain
         prev = Y[-1]
 
         def one(tail, ch):
