@@ -222,6 +222,38 @@ def bm_chain_mega():
     return _chain("fused", "mxu", chain_method="megakernel")
 
 
+def bm_mega_kernel_only():
+    """fm_chain_step with the planes window pre-staged: isolates the
+    kernel from the XLA input-staging glue in chain_mega."""
+    import jax
+    import jax.numpy as jnp
+
+    from newsched_tpu.ops import firdes, pfb as pfb_ops
+    from newsched_tpu.ops.pallas.fm_chain import fm_chain_step
+
+    L = TAPS_PER_ARM
+    A = AUDIO_NTAPS
+    taps = firdes.prototype_channelizer_taps(M, L)
+    ataps = firdes.low_pass(1.0, 1.0, 0.4 / AUDIO_DECIM, 0.1 / AUDIO_DECIM,
+                            ntaps=A).astype(np.float32)
+    arm = pfb_ops.pfb_arm_taps(taps.astype(np.float32), M)
+    c = np.asarray(arm)[::-1, ::-1].T.copy()
+    n_out = B // M
+    rng = np.random.default_rng(0)
+    vr = jnp.asarray(rng.standard_normal((n_out + L, M)).astype(np.float32))
+    vi = jnp.asarray(rng.standard_normal((n_out + L, M)).astype(np.float32))
+
+    def step(carry):
+        prev, tail = carry
+        aud, prev2, tail2 = fm_chain_step(vr, vi, prev, tail, c, ataps,
+                                          AUDIO_DECIM, 0.5, n_out)
+        return (prev2, tail2), jnp.sum(jnp.abs(aud))
+
+    init = (jnp.zeros((1, 2 * M), jnp.float32),
+            jnp.zeros((A - 1, 2 * M), jnp.float32))
+    return _time_scan(step, init, B)
+
+
 ALL = {
     "pfb_sum": bm_pfb_sum,
     "pfb_pallas": bm_pfb_pallas,
@@ -238,6 +270,7 @@ ALL = {
     "chain_pallas_mxu_mm": bm_chain_pallas_mxu_mm,
     "chain_fused_mxu": bm_chain_fused_mxu,
     "chain_mega": bm_chain_mega,
+    "mega_kernel_only": bm_mega_kernel_only,
 }
 
 

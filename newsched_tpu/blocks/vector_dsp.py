@@ -95,3 +95,64 @@ class channel_select(Block):
 
     def work(self, state, ins, params, nout):
         return state, {"out": ins["in"][:, self.channel]}
+
+
+class fm_channelizer_fused(Block):
+    """The flagship chain as ONE block backed by the full-chain Pallas
+    mega-kernel (ops/pallas/fm_chain.py): cf32 scalar stream in ->
+    rf32[(M,)] audio vector stream at rate 1/(M*decim).
+
+    Equivalent to pfb_channelizer -> vector_quad_demod -> vector_fir but
+    ~45% faster on a v5e chip (BASELINE.md); demonstrates hosting a
+    hand-fused kernel behind the ordinary block interface. Requires a TPU
+    backend unless interpret=True (CI/tests), and a flowgraph batch_size
+    of at least nchans * (len(audio_taps) - 1) so the kernel's audio-tail
+    carry fits in one grid tile.
+    """
+
+    def __init__(self, nchans: int, taps, audio_taps, audio_decim: int = 8,
+                 gain: float = 1.0, taps_per_arm: int | None = None,
+                 interpret: bool = False, name=None):
+        super().__init__(name)
+        from newsched_tpu.ops import firdes, pfb as pfb_ops
+
+        self.nchans = int(nchans)
+        if taps is None:
+            taps = firdes.prototype_channelizer_taps(self.nchans,
+                                                     taps_per_arm or 16)
+        self.arm = pfb_ops.pfb_arm_taps(np.asarray(taps, np.float32), self.nchans)
+        self.fold_c = np.asarray(self.arm)[::-1, ::-1].T.copy()
+        self.audio_taps = np.asarray(audio_taps, np.float32)
+        self.audio_decim = int(audio_decim)
+        self.gain = float(gain)
+        self.interpret = bool(interpret)
+        self.relative_rate = Fraction(1, self.nchans * self.audio_decim)
+        self.add_input("in", "cf32")
+        self.add_output("out", "rf32", item_shape=(self.nchans,))
+
+    def init_state(self, nin, nout):
+        M = self.nchans
+        A = len(self.audio_taps)
+        return {
+            "tail": jnp.zeros((self.arm.size - 1,), jnp.complex64),
+            "prev": jnp.zeros((1, 2 * M), jnp.float32),
+            "atail": jnp.zeros((A - 1, 2 * M), jnp.float32),
+        }
+
+    def work(self, state, ins, params, nout):
+        from newsched_tpu.ops.pallas.fm_chain import fm_chain_step
+
+        M = self.nchans
+        L = self.arm.shape[1]
+        x = ins["in"]
+        n_out = int(x.shape[0]) // M
+        xfull = jnp.concatenate([state["tail"], x])
+        V = xfull[: (L - 1 + n_out) * M].reshape(L - 1 + n_out, M)
+        aud, prev, atail = fm_chain_step(
+            jnp.real(V).astype(jnp.float32), jnp.imag(V).astype(jnp.float32),
+            state["prev"], state["atail"], self.fold_c, self.audio_taps,
+            self.audio_decim, self.gain, n_out,
+            tile=min(512, n_out), interpret=self.interpret)
+        new_state = {"tail": xfull[-(self.arm.size - 1):], "prev": prev,
+                     "atail": atail}
+        return new_state, {"out": aud}

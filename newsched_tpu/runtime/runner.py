@@ -46,7 +46,7 @@ class Runner:
     def __init__(self, fg, batch_size: int | None = None, mesh=None,
                  total_items: int | None = None, resume_from: str | None = None,
                  checkpoint_path: str | None = None, checkpoint_every: int = 0,
-                 collect_stats: bool = False):
+                 collect_stats: bool = False, profile_dir: str | None = None):
         if mesh is not None:
             raise NotImplementedError(
                 "graph-level auto-sharding is not implemented yet: streaming "
@@ -61,6 +61,9 @@ class Runner:
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every
         self.collect_stats = collect_stats
+        # SURVEY.md §6: the reference has no built-in tracer (external
+        # gr-bench + perf); here device-level tracing is one flag away.
+        self.profile_dir = profile_dir
         self.stats: dict = {"batches": 0, "items": 0, "batch_seconds": []}
         self.cfg = compile_flowgraph(fg, batch_size=batch_size, total_items=total_items)
         self._msg_queue: collections.deque = collections.deque()
@@ -103,6 +106,15 @@ class Runner:
 
     # -- execution -------------------------------------------------------
     def run_to_completion(self) -> None:
+        if self.profile_dir:
+            # Device-level trace (TensorBoard/xprof format) around the whole
+            # run — the tracing upgrade SURVEY.md §6 plans in from the start.
+            with jax.profiler.trace(self.profile_dir):
+                self._run_to_completion()
+            return
+        self._run_to_completion()
+
+    def _run_to_completion(self) -> None:
         for b in self.cfg.order:
             b._runtime = self
             b.start()

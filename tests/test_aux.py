@@ -250,3 +250,24 @@ def test_mesh_arg_rejected_with_guidance():
     fg.connect(src, 0, snk, 0)
     with pytest.raises(NotImplementedError, match="parallel"):
         fg.run(mesh=object())
+
+
+def test_profiler_trace_writes_output(tmp_path):
+    """Runner(profile_dir=...) produces an xprof trace directory."""
+    import os
+
+    from newsched_tpu import Flowgraph
+    from newsched_tpu.blocks import general
+    from newsched_tpu.runtime.runner import Runner
+
+    fg = Flowgraph(batch_size=256)
+    src = general.null_source(dtype="rf32")
+    hd = general.head(1024, dtype="rf32")
+    snk = general.null_sink(dtype="rf32")
+    fg.connect(src, 0, hd, 0)
+    fg.connect(hd, 0, snk, 0)
+    fg.validate()
+    r = Runner(fg, batch_size=256, profile_dir=str(tmp_path / "trace"))
+    r.run_to_completion()
+    hits = [f for _, _, fs in os.walk(tmp_path) for f in fs]
+    assert hits, "no trace files written"

@@ -151,3 +151,48 @@ def test_fm_chain_megakernel_matches_jnp_chain():
                                    np.asarray(ftails2).T, rtol=2e-4, atol=2e-5)
         tail, prev, ftails = tail2, prev2, ftails2
         prev_p, tail_p = prev_p2, tail_p2
+
+
+def test_fused_block_in_graph_matches_staged_blocks():
+    """fm_channelizer_fused (mega-kernel block, interpret mode) must match
+    the staged pfb -> vector_quad_demod -> vector_fir flowgraph."""
+    from newsched_tpu import Flowgraph
+    from newsched_tpu.blocks import filter as filt, general, vector_dsp
+    from newsched_tpu.ops import firdes
+
+    M, L, decim = 64, 8, 4
+    n_items = 64 * 64
+    taps = firdes.prototype_channelizer_taps(M, L)
+    ataps = firdes.low_pass(1.0, 1.0, 0.1, 0.05, ntaps=33)
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal(n_items * 1) + 1j * rng.standard_normal(n_items)
+         ).astype(np.complex64)
+
+    def staged():
+        fg = Flowgraph(batch_size=2048)
+        src = general.vector_source(x)
+        pfb = filt.pfb_channelizer(M, taps=taps)
+        dem = vector_dsp.vector_quad_demod(M, gain=0.9)
+        fir = vector_dsp.vector_fir(M, ataps, decim=decim, dtype="rf32")
+        snk = general.vector_sink(dtype="rf32", vlen=(M,))
+        for a, b in [(src, pfb), (pfb, dem), (dem, fir), (fir, snk)]:
+            fg.connect(a, 0, b, 0)
+        fg.run()
+        return snk.data()
+
+    def fused():
+        fg = Flowgraph(batch_size=2048)
+        src = general.vector_source(x)
+        blk = vector_dsp.fm_channelizer_fused(M, taps, ataps, audio_decim=decim,
+                                              gain=0.9, interpret=True)
+        snk = general.vector_sink(dtype="rf32", vlen=(M,))
+        fg.connect(src, 0, blk, 0)
+        fg.connect(blk, 0, snk, 0)
+        fg.run()
+        return snk.data()
+
+    a, b = staged(), fused()
+    assert a.shape == b.shape
+    err = np.abs(a - b)
+    # identical math up to atan2 formulation (poly vs libm) and matmul order
+    assert err.max() < 5e-4, err.max()
