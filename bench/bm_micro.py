@@ -43,7 +43,7 @@ def _time_graph(build, n_items: int, batch: int):
     return n_items / best, n_b
 
 
-def bm_copy_chain(depth: int = 8, n: int = 1 << 22, batch: int = 1 << 18):
+def bm_copy_chain(depth: int = 8, n: int = 1 << 27, batch: int = 1 << 22):
     from newsched_tpu.blocks import general
 
     def build():
@@ -65,7 +65,7 @@ def bm_copy_chain(depth: int = 8, n: int = 1 << 22, batch: int = 1 << 18):
     return _time_graph(build, n, batch)
 
 
-def bm_fanout(width: int = 8, n: int = 1 << 21, batch: int = 1 << 17):
+def bm_fanout(width: int = 8, n: int = 1 << 26, batch: int = 1 << 22):
     from newsched_tpu.blocks import general
 
     def build():
@@ -83,7 +83,7 @@ def bm_fanout(width: int = 8, n: int = 1 << 21, batch: int = 1 << 17):
     return _time_graph(build, n, batch)
 
 
-def bm_fir_chain(depth: int = 4, ntaps: int = 64, n: int = 1 << 21, batch: int = 1 << 17):
+def bm_fir_chain(depth: int = 4, ntaps: int = 64, n: int = 1 << 25, batch: int = 1 << 21):
     from newsched_tpu.blocks import analog, filter as filt, general
     from newsched_tpu.ops import firdes
 
@@ -108,7 +108,7 @@ def bm_fir_chain(depth: int = 4, ntaps: int = 64, n: int = 1 << 21, batch: int =
     return _time_graph(build, n, batch)
 
 
-def bm_channelizer(nchans: int = 64, n: int = 1 << 22, batch: int = 1 << 19):
+def bm_channelizer(nchans: int = 64, n: int = 1 << 26, batch: int = 1 << 22):
     from newsched_tpu.blocks import analog, filter as filt, general
 
     def build():

@@ -136,6 +136,19 @@ def _toeplitz_taps(taps_rev: np.ndarray | jax.Array, frame: int, decim: int) -> 
     return jnp.asarray(H)
 
 
+def _frame_with_halo(xfull: jax.Array, nframes: int, stride: int, srange: int) -> jax.Array:
+    """Z[i, s] = xfull[i*stride + s] for i < nframes, s < srange, built from
+    ceil(srange/stride) shifted reshapes instead of nframes dynamic slices
+    (an unrolled per-frame stack put 16k+ slice ops in the graph at large
+    batches and blew up trace/compile time)."""
+    pieces = []
+    for j in range(0, srange, stride):
+        seg = jax.lax.dynamic_slice_in_dim(xfull, j, nframes * stride, 0)
+        pieces.append(seg.reshape(nframes, stride))
+    return jnp.concatenate(pieces, axis=1)[:, :srange] if len(pieces) > 1 \
+        else pieces[0][:, :srange]
+
+
 def _mxu_fir(xfull: jax.Array, taps_np: np.ndarray, n_out: int, decim: int) -> jax.Array:
     """Toeplitz-matmul FIR. xfull includes the ntaps-1 halo at the front.
     taps_np must be a host (static) array — the tap matrix is built at trace
@@ -146,12 +159,14 @@ def _mxu_fir(xfull: jax.Array, taps_np: np.ndarray, n_out: int, decim: int) -> j
     nframes = -(-n_out // frame)
     srange = (frame - 1) * decim + ntaps
     stride = frame * decim
-    need = (nframes - 1) * stride + srange
+    # the last reshape piece reads up to (ceil(srange/stride))*stride past
+    # the final frame start — pad to cover it
+    npieces = -(-srange // stride)
+    need = max((nframes - 1) * stride + srange, (npieces - 1) * stride + nframes * stride)
     pad = need - xfull.shape[0]
     if pad > 0:
         xfull = jnp.pad(xfull, (0, pad))
-    # Frame with halo: static unrolled slices (nframes is static and modest).
-    Z = jnp.stack([jax.lax.dynamic_slice(xfull, (i * stride,), (srange,)) for i in range(nframes)])
+    Z = _frame_with_halo(xfull, nframes, stride, srange)
     H = _toeplitz_taps(taps_rev, frame, decim)
     if _is_complex(Z) and not _is_complex(H):
         planes = jnp.stack([jnp.real(Z), jnp.imag(Z)]).astype(jnp.float32)
@@ -209,13 +224,12 @@ def fft_filter_full(xfull: jax.Array, taps: jax.Array, n_out: int, decim: int = 
         fft_size = min(fft_size, _good_fft_size(n_lin + ntaps - 1))
     step = fft_size - (ntaps - 1)
     nseg = -(-n_lin // step)
-    need = (nseg - 1) * step + fft_size
+    npieces = -(-fft_size // step)
+    need = max((nseg - 1) * step + fft_size, (npieces - 1) * step + nseg * step)
     pad = need - xfull.shape[0]
     if pad > 0:
         xfull = jnp.pad(xfull, (0, pad))
-    segs = jnp.stack(
-        [jax.lax.dynamic_slice(xfull, (i * step,), (fft_size,)) for i in range(nseg)]
-    )
+    segs = _frame_with_halo(xfull, nseg, step, fft_size)
     complex_in = _is_complex(xfull) or _is_complex(taps)
     if complex_in:
         H = jnp.fft.fft(taps.astype(jnp.complex64), fft_size)
