@@ -141,12 +141,36 @@ def bm_wbfm(n: int = 1 << 25, batch: int = 1 << 21):
     return _time_graph(build, n, batch)
 
 
+def bm_fft_filter(ntaps: int = 1024, n: int = 1 << 25, batch: int = 1 << 21):
+    """BASELINE config #3 kernel: overlap-save fast convolution."""
+    from newsched_tpu.blocks import analog, filter as filt, general
+    from newsched_tpu.ops import firdes
+
+    taps = firdes.low_pass(1.0, 1.0, 0.1, 0.02, ntaps=ntaps)
+
+    def build():
+        from newsched_tpu import Flowgraph
+
+        fg = Flowgraph(batch_size=batch)
+        src = analog.noise_source("gaussian", 0.5)
+        f = filt.fft_filter(taps)
+        hd = general.head(n)
+        snk = general.null_sink()
+        fg.connect(src, 0, f, 0)
+        fg.connect(f, 0, hd, 0)
+        fg.connect(hd, 0, snk, 0)
+        return fg
+
+    return _time_graph(build, n, batch)
+
+
 ALL = {
     "copy_chain": bm_copy_chain,
     "fanout": bm_fanout,
     "fir_chain": bm_fir_chain,
     "channelizer": bm_channelizer,
     "wbfm": bm_wbfm,
+    "fft_filter": bm_fft_filter,
 }
 
 
