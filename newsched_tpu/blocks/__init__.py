@@ -7,4 +7,4 @@ factories are plain constructors — the reference's YAML-driven codegen
 (utils/blockbuilder) is unnecessary when the spec IS Python.
 """
 
-from newsched_tpu.blocks import analog, fec, fft, fileio, filter, general, math, network, streamops  # noqa: F401
+from newsched_tpu.blocks import analog, digital, fec, fft, fileio, filter, general, math, network, streamops  # noqa: F401
