@@ -181,6 +181,38 @@ class stream_to_vector(Block):
         return state, {"out": ins["in"].reshape(-1, self.vlen)}
 
 
+class streams_to_vector(Block):
+    """N parallel scalar streams -> one stream of N-vectors, item k of the
+    output vector taken from input k (reference streamops::streams_to_vector)."""
+
+    def __init__(self, nstreams: int, dtype="cf32", name=None):
+        super().__init__(name)
+        self.nstreams = int(nstreams)
+        for k in range(self.nstreams):
+            self.add_input(f"in{k}", dtype)
+        self.add_output("out", dtype, item_shape=(self.nstreams,))
+
+    def work(self, state, ins, params, nout):
+        xs = [ins[f"in{k}"] for k in range(self.nstreams)]
+        return state, {"out": jnp.stack(xs, axis=1)}
+
+
+class vector_to_streams(Block):
+    """One stream of N-vectors -> N parallel scalar streams (reference
+    streamops::vector_to_streams)."""
+
+    def __init__(self, nstreams: int, dtype="cf32", name=None):
+        super().__init__(name)
+        self.nstreams = int(nstreams)
+        self.add_input("in", dtype, item_shape=(self.nstreams,))
+        for k in range(self.nstreams):
+            self.add_output(f"out{k}", dtype)
+
+    def work(self, state, ins, params, nout):
+        x = ins["in"]
+        return state, {f"out{k}": x[:, k] for k in range(self.nstreams)}
+
+
 class vector_to_stream(Block):
     """Unpack vector items to scalars (reference streamops::vector_to_stream)."""
 

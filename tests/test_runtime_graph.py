@@ -193,3 +193,20 @@ def test_delay():
     fg.run()
     expect = np.concatenate([np.zeros(10, np.float32), data])[:256]
     assert np.array_equal(snk.data(), expect)
+
+
+def test_streams_to_vector_roundtrip():
+    n = 3
+    data = [np.arange(120, dtype=np.float32) * (k + 1) for k in range(n)]
+    fg = Flowgraph(batch_size=40)
+    srcs = [general.vector_source(d, dtype="rf32") for d in data]
+    s2v = streamops.streams_to_vector(n, dtype="rf32")
+    v2s = streamops.vector_to_streams(n, dtype="rf32")
+    snks = [general.vector_sink(dtype="rf32") for _ in range(n)]
+    for k in range(n):
+        fg.connect(srcs[k], 0, s2v, k)
+        fg.connect(v2s, k, snks[k], 0)
+    fg.connect(s2v, 0, v2s, 0)
+    fg.run()
+    for k in range(n):
+        assert np.array_equal(snks[k].data(), data[k])
