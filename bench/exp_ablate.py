@@ -86,7 +86,7 @@ def _kernel(vp_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
     else:
         aud = atan2(PI, PR) * jnp.float32(gain)
     if variant == "no_audio":
-        aud_ref[:, :] = aud[:: AUDIO_DECIM, :]
+        aud_ref[:, :] = aud.reshape(T // AUDIO_DECIM, AUDIO_DECIM, 2 * M)[:, 0, :]
     else:
         audfull = jnp.concatenate([carry_tail[:, :], aud], axis=0)
         aud_ref[:, :] = _mm(h_ref[:, :], audfull)

@@ -67,13 +67,28 @@ def _kernel(v_hbm, c_ref, out_ref, scratch, sem, *, T: int, L: int, H8: int):
     # Window rows [i*T, i*T + T + H8) of the padded input: tile + 8-aligned
     # halo in one DMA (window row count and start offset both 8-aligned,
     # which hardware DMA requires to be efficient/safe for f32 tiles).
+    # Double-buffered: tile i+1's copy is in flight while tile i computes.
     i = pl.program_id(0)
-    dma = pltpu.make_async_copy(v_hbm.at[pl.ds(i * T, T + H8), :], scratch, sem)
-    dma.start()
-    dma.wait()
-    acc = c_ref[0][None, :] * scratch[0:T, :]
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+    nslot = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        pltpu.make_async_copy(v_hbm.at[pl.ds(0, T + H8), :], scratch.at[0],
+                              sem.at[0]).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        pltpu.make_async_copy(v_hbm.at[pl.ds((i + 1) * T, T + H8), :],
+                              scratch.at[nslot], sem.at[nslot]).start()
+
+    pltpu.make_async_copy(v_hbm.at[pl.ds(i * T, T + H8), :], scratch.at[slot],
+                          sem.at[slot]).wait()
+    cur = scratch.at[slot]
+    acc = c_ref[0][None, :] * cur[0:T, :]
     for s in range(1, L):
-        acc = acc + c_ref[s][None, :] * scratch[s : s + T, :]
+        acc = acc + c_ref[s][None, :] * cur[s : s + T, :]
     out_ref[:, :] = acc
 
 
@@ -113,8 +128,8 @@ def arm_fold(v: jax.Array, c2: np.ndarray, n_out: int, tile: int = 512,
         out_specs=pl.BlockSpec((tile, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_out, W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile + H8, W), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, tile + H8, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n_out * W * L,
@@ -161,12 +176,26 @@ def interleaved_dft_matrix(M: int) -> np.ndarray:
 def _fused_kernel(v_hbm, c_ref, w_ref, out_ref, scratch, sem, *, T: int, L: int,
                   H8: int):
     i = pl.program_id(0)
-    dma = pltpu.make_async_copy(v_hbm.at[pl.ds(i * T, T + H8), :], scratch, sem)
-    dma.start()
-    dma.wait()
-    acc = c_ref[0][None, :] * scratch[0:T, :]
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+    nslot = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        pltpu.make_async_copy(v_hbm.at[pl.ds(0, T + H8), :], scratch.at[0],
+                              sem.at[0]).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        pltpu.make_async_copy(v_hbm.at[pl.ds((i + 1) * T, T + H8), :],
+                              scratch.at[nslot], sem.at[nslot]).start()
+
+    pltpu.make_async_copy(v_hbm.at[pl.ds(i * T, T + H8), :], scratch.at[slot],
+                          sem.at[slot]).wait()
+    cur = scratch.at[slot]
+    acc = c_ref[0][None, :] * cur[0:T, :]
     for s in range(1, L):
-        acc = acc + c_ref[s][None, :] * scratch[s : s + T, :]
+        acc = acc + c_ref[s][None, :] * cur[s : s + T, :]
     # HIGHEST: the default bf16 MXU passes leave the 64-point DFT at
     # ~22 dB SNR (measured — far below the 60 dB gate)
     out_ref[:, :] = jax.lax.dot_general(
@@ -214,8 +243,8 @@ def arm_fold_dft(v: jax.Array, c2: np.ndarray, w2: np.ndarray, n_out: int,
         out_specs=pl.BlockSpec((tile, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_out, W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile + H8, W), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, tile + H8, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n_out * W * L + 2 * n_out * W * W,
