@@ -230,6 +230,12 @@ def fft_filter_full(xfull: jax.Array, taps: jax.Array, n_out: int, decim: int = 
     if pad > 0:
         xfull = jnp.pad(xfull, (0, pad))
     segs = _frame_with_halo(xfull, nseg, step, fft_size)
+    # Under a graph mesh, re-pin the segment matrix: without this, XLA's
+    # CPU backend assigns the partitioned FFT operand a layout its fft
+    # thunk rejects (LayoutUtil::IsMonotonicWithDim0Major RET_CHECK).
+    from newsched_tpu.runtime import meshctx
+
+    segs = meshctx.pin_leading(segs)
     complex_in = _is_complex(xfull) or _is_complex(taps)
     if complex_in:
         H = jnp.fft.fft(taps.astype(jnp.complex64), fft_size)

@@ -46,6 +46,7 @@ class CompiledFlowgraph:
     sink_totals: dict[str, int | None]  # sink block name -> total input items
     sink_leads: dict[str, int]  # sink block name -> leading items to drop
     step: Callable[[dict, dict], tuple[dict, dict]]
+    mesh: Any = None  # device mesh the step is constrained to (None = single)
 
     def init_states(self) -> dict[str, Any]:
         return {
@@ -73,7 +74,8 @@ def _propagate_rates(g: Graph, order: list[Block]) -> dict[str, Fraction]:
     return rates
 
 
-def _choose_batch(rates: dict[str, Fraction], requested: int | None) -> int:
+def _choose_batch(rates: dict[str, Fraction], requested: int | None,
+                  shard_n: int = 1) -> int:
     from newsched_tpu.utils import prefs
 
     lcm = 1
@@ -81,6 +83,10 @@ def _choose_batch(rates: dict[str, Fraction], requested: int | None) -> int:
         lcm = lcm * r.denominator // math.gcd(lcm, r.denominator)
         # also keep numerators' contribution: n_out must be integer for
         # every block, which the denominator LCM guarantees.
+    # Under a mesh, every edge's per-batch item count should divide evenly
+    # across the time axis: N % (den_i * shard_n) == 0 makes n_out_i a
+    # multiple of shard_n for every block.
+    lcm *= shard_n
     target = requested or int(prefs.get("default_batch_size", DEFAULT_BATCH))
     n = max(1, -(-target // lcm)) * lcm
     return n
@@ -119,14 +125,27 @@ def _propagate_bounds(
 
 
 def compile_flowgraph(
-    g: Graph, batch_size: int | None = None, total_items: int | None = None
+    g: Graph, batch_size: int | None = None, total_items: int | None = None,
+    mesh=None, time_axis: str | None = None,
 ) -> CompiledFlowgraph:
     """batch_size: requested items/batch at the reference rate (rate-1 source).
     total_items: override stream length at the reference rate (else derived
-    from head blocks / finite sources; None with no bound = unbounded)."""
+    from head blocks / finite sources; None with no bound = unbounded).
+
+    mesh: a jax.sharding.Mesh. The SAME flowgraph compiles to a sharded
+    program: the compiler pins every stream edge to a time-sharded layout
+    (leading axis over `time_axis`, default the mesh's first axis) and XLA's
+    SPMD partitioner inserts the halo exchanges every tail-stateful kernel
+    needs — the reference's graph_utils::partition + multi-scheduler
+    (SURVEY.md §3.6 rows 3-4) expressed as sharding annotations instead of
+    buffer plumbing. Hand-tuned shard_map pipelines live in parallel/."""
     order = g.topo_order()
     rates = _propagate_rates(g, order)
-    N = _choose_batch(rates, batch_size)
+    shard_n = 1
+    if mesh is not None:
+        time_axis = time_axis or mesh.axis_names[0]
+        shard_n = mesh.shape[time_axis]
+    N = _choose_batch(rates, batch_size, shard_n)
     n_in: dict[str, int] = {}
     n_out: dict[str, int] = {}
     for b in order:
@@ -178,7 +197,7 @@ def compile_flowgraph(
             nb = -(-(t + sink_leads[s.name]) // n_in[s.name])
             n_batches = nb if n_batches is None else max(n_batches, nb)
 
-    step = build_step(g, order, n_out, n_in)
+    step = build_step(g, order, n_out, n_in, mesh=mesh, time_axis=time_axis)
     return CompiledFlowgraph(
         graph=g,
         order=order,
@@ -192,6 +211,7 @@ def compile_flowgraph(
         sink_totals=sink_totals,
         sink_leads=sink_leads,
         step=step,
+        mesh=mesh,
     )
 
 
@@ -220,7 +240,8 @@ def _merge_bounds(g, order, rates, seeded):
 
 
 def build_step(g: Graph, order: list[Block], n_out: dict[str, int],
-               n_in: dict[str, int] | None = None):
+               n_in: dict[str, int] | None = None, mesh=None,
+               time_axis: str | None = None):
     """Emit the pure per-batch function. Sinks (no stream outputs) return a
     per-batch collected pytree under their name (None to collect nothing).
 
@@ -240,50 +261,126 @@ def build_step(g: Graph, order: list[Block], n_out: dict[str, int],
     from newsched_tpu.runtime import tags as tags_mod
 
     n_in = n_in or {}
-    # Static tag-capacity propagation.
-    caps: dict[str, int] = {}
+
+    # Mesh lowering: pin each stream edge's value to a time-sharded layout.
+    # That single annotation is the whole multi-device story — XLA's SPMD
+    # partitioner turns the global tail-concat + conv/matmul kernels into
+    # per-shard compute with ICI halo exchange (the scaling-book recipe:
+    # annotate shardings, let the compiler insert collectives).
+    constrain = None
+    n_shard = 0
+    if mesh is not None and math.prod(mesh.shape.values()) > 1:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = time_axis or mesh.axis_names[0]
+        n_shard = mesh.shape[axis]
+
+        def constrain(v, count):
+            if count % n_shard != 0:
+                return v  # indivisible edge stays unconstrained (replicated)
+
+            def one(a):
+                if getattr(a, "ndim", 0) >= 1 and a.shape[0] == count:
+                    spec = PartitionSpec(axis, *([None] * (a.ndim - 1)))
+                    return jax.lax.with_sharding_constraint(
+                        a, NamedSharding(mesh, spec))
+                return a
+
+            return jax.tree_util.tree_map(one, v)
+
+    # Static tag-capacity propagation, per OUTPUT PORT (the reference
+    # propagates per-edge; per-port is what ONE_TO_ONE needs).
+    caps: dict[tuple[str, str], int] = {}
     for b in order:
-        in_cap = sum(caps[e.src.name] for e in g.in_edges(b))
+        in_caps = []
+        for p in b.inputs:
+            e = next((e for e in g.in_edges(b) if e.dst_port == p.name), None)
+            in_caps.append(caps.get((e.src.name, e.src_port), 0) if e else 0)
         own = int(getattr(b, "tag_capacity", 0))
-        caps[b.name] = in_cap + own if b.tag_policy != "dont" else own
+        policy = b.tag_policy
+        if policy == "one_to_one" and b.inputs and b.outputs \
+                and len(b.inputs) != len(b.outputs):
+            raise ValueError(
+                f"{b.name}: tag_policy 'one_to_one' requires equal input/"
+                f"output port counts ({len(b.inputs)} vs {len(b.outputs)}), "
+                "as in the reference's TPP_ONE_TO_ONE")
+        for i, p in enumerate(b.outputs):
+            if getattr(b, "tag_aware", False):
+                c = sum(in_caps) + own
+            elif policy == "one_to_one":
+                c = (in_caps[i] if i < len(in_caps) else 0) + own
+            elif policy == "dont":
+                c = own
+            else:  # all_to_all
+                c = sum(in_caps) + own
+            caps[(b.name, p.name)] = c
     any_tags = any(caps.values())
 
     def step(states: dict, params: dict, host_ins: dict | None = None):
+        if constrain is not None:
+            from newsched_tpu.runtime.meshctx import mesh_scope
+
+            with mesh_scope(mesh, time_axis or mesh.axis_names[0]):
+                return _step_body(states, params, host_ins)
+        return _step_body(states, params, host_ins)
+
+    def _step_body(states: dict, params: dict, host_ins: dict | None = None):
         host_ins = host_ins or {}
         vals: dict[tuple[str, str], Any] = {}
-        tag_vals: dict[str, Any] = {}  # block name -> TagBatch on its outputs
+        tag_vals: dict[tuple[str, str], Any] = {}  # (block, out port) -> TagBatch
         new_states = dict(states)
         sink_out: dict[str, Any] = {}
         for b in order:
             ins = {e.dst_port: vals[(e.src.name, e.src_port)] for e in g.in_edges(b)}
             if b.name in host_ins:
                 ins["host_in"] = host_ins[b.name]
-            in_tag_list = [tag_vals[e.src.name] for e in g.in_edges(b)] if any_tags else []
-            in_tag_list = [t for t in in_tag_list if t is not None]
+            # Tags on each input port, in declared port order (ONE_TO_ONE
+            # pairs input i with output i, as the reference executor does).
+            in_tags_by_port: list[Any] = []
+            if any_tags:
+                for p in b.inputs:
+                    e = next((e for e in g.in_edges(b) if e.dst_port == p.name), None)
+                    in_tags_by_port.append(
+                        tag_vals.get((e.src.name, e.src_port)) if e else None)
             merged_in = None
-            if in_tag_list:
-                merged_in = in_tag_list[0]
-                for t in in_tag_list[1:]:
-                    merged_in = tags_mod.merge(merged_in, t)
+            for t in in_tags_by_port:
+                if t is not None:
+                    merged_in = t if merged_in is None else tags_mod.merge(merged_in, t)
+
+            ni, no = n_in.get(b.name, 0), n_out[b.name]
+
+            def _remap(t):
+                return (tags_mod.remap(t, no, ni)
+                        if t is not None and ni and no and ni != no else t)
+
             if getattr(b, "tag_aware", False):
                 st, outs, otags = b.work(states[b.name], ins, params[b.name],
                                          n_out[b.name], in_tags=merged_in)
+                out_tags = {p.name: otags for p in b.outputs}
             else:
                 st, outs = b.work(states[b.name], ins, params[b.name], n_out[b.name])
-                otags = None
-                if merged_in is not None and b.tag_policy != "dont":
-                    ni, no = n_in.get(b.name, 0), n_out[b.name]
-                    otags = (tags_mod.remap(merged_in, no, ni)
-                             if ni and no and ni != no else merged_in)
+                if b.tag_policy == "one_to_one":
+                    out_tags = {
+                        p.name: _remap(in_tags_by_port[i]
+                                       if i < len(in_tags_by_port) else None)
+                        for i, p in enumerate(b.outputs)
+                    }
+                elif b.tag_policy == "dont":
+                    out_tags = {p.name: None for p in b.outputs}
+                else:  # all_to_all
+                    out_tags = {p.name: _remap(merged_in) for p in b.outputs}
             new_states[b.name] = st
             if b.outputs:
-                tag_vals[b.name] = otags
                 for p in b.outputs:
                     if p.name not in outs:
                         raise KeyError(f"{b.name}.work missing output {p.name!r}")
-                    vals[(b.name, p.name)] = outs[p.name]
+                    v = outs[p.name]
+                    if constrain is not None:
+                        v = constrain(v, n_out[b.name])
+                    vals[(b.name, p.name)] = v
+                    tag_vals[(b.name, p.name)] = out_tags[p.name]
             else:
-                tag_vals[b.name] = None
                 if getattr(b, "collects_tags", False) and merged_in is not None:
                     sink_out[b.name] = {"data": outs, "tags": merged_in}
                 elif outs is not None:

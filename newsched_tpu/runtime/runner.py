@@ -47,14 +47,6 @@ class Runner:
                  total_items: int | None = None, resume_from: str | None = None,
                  checkpoint_path: str | None = None, checkpoint_every: int = 0,
                  collect_stats: bool = False, profile_dir: str | None = None):
-        if mesh is not None:
-            raise NotImplementedError(
-                "graph-level auto-sharding is not implemented yet: streaming "
-                "state (filter tails) needs halo exchange the compiler does "
-                "not yet insert automatically. Use the explicit sharded "
-                "pipelines in newsched_tpu.parallel (ShardedFMChannelizer, "
-                "ShardedFirFilter) for multi-chip execution."
-            )
         self.fg = fg
         self.mesh = mesh
         self.resume_from = resume_from
@@ -65,7 +57,8 @@ class Runner:
         # gr-bench + perf); here device-level tracing is one flag away.
         self.profile_dir = profile_dir
         self.stats: dict = {"batches": 0, "items": 0, "batch_seconds": []}
-        self.cfg = compile_flowgraph(fg, batch_size=batch_size, total_items=total_items)
+        self.cfg = compile_flowgraph(fg, batch_size=batch_size, total_items=total_items,
+                                     mesh=mesh)
         self._msg_queue: collections.deque = collections.deque()
         self._dirty_params: set[str] = set()
         self._stop = threading.Event()
@@ -341,7 +334,7 @@ def _unstack_to_host(tree):
 
     def fix(x):
         if _is_tagbatch(x):
-            return TagBatch(*(np.asarray(l) for l in x))
+            return TagBatch(*(np.asarray(l) if l is not None else None for l in x))
         a = np.asarray(x)
         return np.reshape(a, (-1,) + a.shape[2:])
 
@@ -359,6 +352,7 @@ def _transpose(batches: list):
     def comb(*xs):
         if _is_tagbatch(xs[0]):
             return TagBatch(*(np.stack([np.asarray(getattr(x, f)) for x in xs])
+                              if getattr(xs[0], f) is not None else None
                               for f in xs[0]._fields))
         return np.concatenate([np.atleast_1d(np.asarray(x)) for x in xs])
 

@@ -243,13 +243,19 @@ def test_wav_roundtrip(tmp_path):
     assert np.max(np.abs(back - tone)) < 1e-4
 
 
-def test_mesh_arg_rejected_with_guidance():
+def test_mesh_run_trivial_graph():
+    """fg.run(mesh=...) handles graphs with nothing to shard (scalar sink
+    reductions) — full coverage lives in test_mesh_graph.py."""
+    from newsched_tpu.parallel import make_mesh
+
     fg = Flowgraph(batch_size=64)
     src = general.null_source()
+    hd = general.head(256)
     snk = general.null_sink()
-    fg.connect(src, 0, snk, 0)
-    with pytest.raises(NotImplementedError, match="parallel"):
-        fg.run(mesh=object())
+    fg.connect(src, 0, hd, 0)
+    fg.connect(hd, 0, snk, 0)
+    fg.run(mesh=make_mesh(8))
+    assert snk.checksum == 0.0
 
 
 def test_profiler_trace_writes_output(tmp_path):

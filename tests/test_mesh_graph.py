@@ -1,0 +1,142 @@
+"""Graph-level multi-device execution (reference: graph_utils::partition +
+multi-scheduler, SURVEY.md §3.6 rows 3-4): the SAME flowgraph runs unmodified
+on a device mesh via fg.run(mesh=...) — the compiler pins edges to a
+time-sharded layout and XLA inserts the halo exchange every tail-stateful
+kernel (FIR/PFB/demod history) needs.
+
+Decisive checks, on the simulated 8-device CPU mesh:
+  - flagship fm_channelizer matches the single-device run to >100 dB over
+    multiple batches (carried state exact across shard boundaries);
+  - rate-changing chains (decimating FIR, rational resampler) match;
+  - stream tags survive sharded execution with exact offsets (BASELINE
+    config #3's gate).
+"""
+
+import numpy as np
+import pytest
+
+from newsched_tpu import models
+from newsched_tpu.blocks import filter as filt, general
+from newsched_tpu.ops import firdes
+from newsched_tpu.parallel import make_mesh
+from newsched_tpu.runtime.graph import Flowgraph
+from tests.test_ops_fir import _rand_complex, snr_db
+
+
+def _run_channelizer(mesh, x, nchans, n_out_items, batch_size):
+    src = general.vector_source(x)
+    fg, blk = models.fm_channelizer(
+        nchans=nchans, taps_per_arm=4, audio_decim=2, n_samples=n_out_items,
+        source=src, batch_size=batch_size, sink="vector")
+    fg.run(mesh=mesh)
+    return blk["sink"].data()
+
+
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_fm_channelizer_graph_mesh_matches_single(n_dev):
+    """VERDICT r1 item 1: models.fm_channelizer() runs unmodified on the
+    mesh and matches the single-device run across >= 3 batches."""
+    M = 16
+    batch = 2048  # 3.5+ batches of the source below
+    n_out = (batch // (M * 2)) * 3 + 7  # >3 batches, non-multiple tail
+    x = _rand_complex(4 * batch, seed=5)
+    ref = _run_channelizer(None, x, M, n_out, batch)
+    got = _run_channelizer(make_mesh(n_dev), x, M, n_out, batch)
+    assert got.shape == ref.shape
+    assert snr_db(ref, got) > 100
+
+
+def test_fir_chain_graph_mesh(  ):
+    """Config #0 chain, decimating FIR variant, sharded vs not."""
+    taps = firdes.low_pass(1.0, 1.0, 0.2, 0.05, ntaps=64)
+    x = _rand_complex(8192, seed=7)
+
+    def run(mesh):
+        fg = Flowgraph(batch_size=2048)
+        src = general.vector_source(x)
+        fir = filt.fir_filter(taps, decim=4)
+        snk = general.vector_sink()
+        fg.connect(src, 0, fir, 0)
+        fg.connect(fir, 0, snk, 0)
+        fg.run(mesh=mesh)
+        return snk.data()
+
+    ref = run(None)
+    got = run(make_mesh(8))
+    assert got.shape == ref.shape
+    assert snr_db(ref, got) > 120
+
+
+def test_wbfm_receiver_graph_mesh():
+    """Config #1 (xlate -> quad demod -> rational resampler) under a mesh:
+    the resampler's polyphase state and the demod history cross shard
+    boundaries exactly."""
+    x = _rand_complex(16384, seed=11)
+
+    def run(mesh):
+        src = general.vector_source(x)
+        fg, blk = models.wbfm_receiver(source=src, n_samples=700,
+                                       batch_size=4096)
+        fg.run(mesh=mesh)
+        return blk["sink"].data()
+
+    ref = run(None)
+    got = run(make_mesh(8))
+    assert got.shape == ref.shape
+    assert snr_db(ref, got) > 100
+
+
+def test_tags_preserved_under_mesh():
+    """BASELINE config #3 gate: stream tags preserved across shard
+    boundaries — fft_filter chain with tagged source, sharded run returns
+    the identical tag list (exact offsets through the rate change)."""
+    taps = firdes.low_pass(1.0, 1.0, 0.2, 0.1, ntaps=33)
+    x = _rand_complex(4096, seed=13)
+    tag_list = [(0, "start", 1.0), (1000, "burst", 2.5), (3500, "end", 0.0)]
+
+    def run(mesh):
+        fg = Flowgraph(batch_size=1024)
+        src = general.vector_source(x, tags=tag_list)
+        f = filt.fft_filter(taps, decim=2)
+        snk = general.vector_sink()
+        fg.connect(src, 0, f, 0)
+        fg.connect(f, 0, snk, 0)
+        fg.run(mesh=mesh)
+        return snk.data(), snk.tags()
+
+    ref_d, ref_t = run(None)
+    got_d, got_t = run(make_mesh(8))
+    assert snr_db(ref_d, got_d) > 120
+    assert [(t.offset, t.key) for t in got_t] == [(t.offset, t.key) for t in ref_t]
+    assert [(t.offset, t.key) for t in got_t] == [(0, "start"), (500, "burst"),
+                                                  (1750, "end")]
+
+
+def test_mesh_run_is_actually_sharded():
+    """Guard against the constraint silently not applying: compile the step
+    with an 8-device mesh and check the jitted output sharding is split
+    over the time axis."""
+    import jax
+
+    from newsched_tpu.runtime.compile import compile_flowgraph
+    from newsched_tpu.utils import cplx
+
+    mesh = make_mesh(8)
+    fg = Flowgraph(batch_size=1024)
+    src = general.vector_source(_rand_complex(4096, seed=3))
+    fir = filt.fir_filter(firdes.low_pass(1.0, 1.0, 0.2, 0.1, ntaps=17))
+    snk = general.vector_sink()
+    fg.connect(src, 0, fir, 0)
+    fg.connect(fir, 0, snk, 0)
+    cfg = compile_flowgraph(fg, batch_size=1024, mesh=mesh)
+
+    def step_enc(s, p):
+        ns, so = cfg.step(cplx.decode(s), cplx.decode(p))
+        return cplx.encode(ns), cplx.encode(so)
+
+    states = jax.jit(lambda: cplx.encode(cfg.init_states()))()
+    _, sink_out = jax.jit(step_enc)(states, cplx.encode(cfg.init_params()))
+    leaf = jax.tree_util.tree_leaves(sink_out)[0]
+    # 8 distinct single-device shards along the leading axis
+    assert len({s.device for s in leaf.addressable_shards}) == 8
+    assert leaf.addressable_shards[0].data.shape[0] == leaf.shape[0] // 8
