@@ -1,5 +1,10 @@
 """EXPERIMENT: ablate mega-kernel stages to locate the time.
 
+NOTE: the kernel body below is a COPY of ops/pallas/fm_chain.py's
+fm_chain_step taken at commit c639509 (dbuf DMA version), with variant
+switches spliced in. If the shipped kernel changes, re-sync this copy
+before trusting the ablation numbers.
+
 Variants (all keep the same DMA + output structure, dbuf DMA):
   full       — the real pipeline
   no_atan2   — demod's atan2 replaced by PR + PI (keeps mults/rolls)

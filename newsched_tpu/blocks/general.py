@@ -123,10 +123,21 @@ class vector_source(Block):
                 [tags_mod.REGISTRY.intern(str(t[1])) for t in self._tags_in], np.int32
             )
             vals = np.zeros((len(self._tags_in), tags_mod.VALUE_DIM), np.float32)
+            pids = np.zeros((len(self._tags_in),), np.int32)
             for i, t in enumerate(self._tags_in):
-                for j, v in enumerate(t[2 : 2 + tags_mod.VALUE_DIM]):
-                    vals[i, j] = float(v)
+                extra = tuple(t[2:])
+                numeric = all(isinstance(v, (int, float, np.integer, np.floating))
+                              for v in extra)
+                if extra and not numeric:
+                    # Rich payload (the pmtf-map analog): the object lives in
+                    # the host-side registry; only its handle rides the device.
+                    obj = extra[0] if len(extra) == 1 else list(extra)
+                    pids[i] = tags_mod.PAYLOADS.add(obj)
+                else:
+                    for j, v in enumerate(extra[: tags_mod.VALUE_DIM]):
+                        vals[i, j] = float(v)
             self._tag_values = vals
+            self._tag_pids = pids if pids.any() else None
         self.add_output("out", self.dtype, self.vlen)
 
     def finite_items(self, in_bound) -> int | None:
@@ -177,6 +188,7 @@ class vector_source(Block):
             keys=jnp.asarray(self._tag_keys),
             values=jnp.asarray(self._tag_values),
             valid=valid,
+            pids=None if self._tag_pids is None else jnp.asarray(self._tag_pids),
         )
         new_state["abs_pos"] = start + jnp.int32(nout)
         return new_state, {"out": out}, otags

@@ -40,14 +40,15 @@ class delay(SyncBlock):
 
 
 class skiphead(Block):
-    """Drop the first n items (reference streamops::skiphead).
+    """Drop the first n items, n arbitrary (reference streamops::skiphead).
 
     Advancing a stream needs lookahead, so the block emits the advanced
-    stream with one batch of latency: y_b = [x_{b-1}[n:], x_b[:n]]. The
-    whole first output batch is garbage; the block declares it as
-    ``lead_items`` and the compiler/runner trim it at the sinks (the
-    static-shape replacement for the reference's dynamic consume-without-
-    produce).
+    stream with one batch of latency: with n = q*nin + r, the state carries
+    the last nin-r items and y_b = [tail_{b-1}, x_b[:r]] — the concatenated
+    output is zeros(nin-r) ++ x, and the declared ``lead_items`` of
+    (q+1)*nout makes the sinks trim exactly x[:n] plus the startup zeros
+    (the static-shape replacement for the reference's dynamic
+    consume-without-produce).
     """
 
     def __init__(self, n: int, dtype="cf32", vlen=(), name=None):
@@ -64,22 +65,21 @@ class skiphead(Block):
     def lead_items(self, in_lead: int, nin: int, nout: int) -> int:
         if self.n_skip == 0:
             return in_lead
-        if self.n_skip >= nin:
-            raise ValueError(
-                f"{self.name}: skip count {self.n_skip} must be < batch items "
-                f"{nin}; raise batch_size"
-            )
-        return in_lead + nout  # one full batch of startup garbage
+        q = self.n_skip // nin
+        return in_lead + (q + 1) * nout
 
     def init_state(self, nin, nout):
-        return {"tail": jnp.zeros((nin - self.n_skip,) + self.vlen, self.dtype.jnp_dtype)}
+        r = self.n_skip % nin
+        return {"tail": jnp.zeros((nin - r,) + self.vlen, self.dtype.jnp_dtype)}
 
     def work(self, state, ins, params, nout):
         x = ins["in"]
         if self.n_skip == 0:
             return state, {"out": x}
-        out = jnp.concatenate([state["tail"], x[: self.n_skip]])
-        return {"tail": x[self.n_skip :]}, {"out": out}
+        tail = state["tail"]
+        r = x.shape[0] - tail.shape[0]  # n_skip % nin, from static shapes
+        out = jnp.concatenate([tail, x[:r]])
+        return {"tail": x[r:]}, {"out": out}
 
 
 class keep_one_in_n(Block):
@@ -182,35 +182,45 @@ class stream_to_vector(Block):
 
 
 class streams_to_vector(Block):
-    """N parallel scalar streams -> one stream of N-vectors, item k of the
-    output vector taken from input k (reference streamops::streams_to_vector)."""
+    """N parallel streams -> one stream of concatenated vector items, slot k
+    taken from input k (reference streams_to_vector is itemsize-based, so
+    vector inputs compose: vlen=(v,) inputs yield (nstreams*v,) items)."""
 
-    def __init__(self, nstreams: int, dtype="cf32", name=None):
+    def __init__(self, nstreams: int, dtype="cf32", vlen: int = 1, name=None):
         super().__init__(name)
         self.nstreams = int(nstreams)
+        self.vlen = int(vlen)
+        in_shape = () if self.vlen == 1 else (self.vlen,)
         for k in range(self.nstreams):
-            self.add_input(f"in{k}", dtype)
-        self.add_output("out", dtype, item_shape=(self.nstreams,))
+            self.add_input(f"in{k}", dtype, in_shape)
+        self.add_output("out", dtype, item_shape=(self.nstreams * self.vlen,))
 
     def work(self, state, ins, params, nout):
-        xs = [ins[f"in{k}"] for k in range(self.nstreams)]
-        return state, {"out": jnp.stack(xs, axis=1)}
+        xs = [ins[f"in{k}"].reshape(nout, self.vlen) for k in range(self.nstreams)]
+        return state, {"out": jnp.concatenate(xs, axis=1)}
 
 
 class vector_to_streams(Block):
-    """One stream of N-vectors -> N parallel scalar streams (reference
-    streamops::vector_to_streams)."""
+    """One stream of concatenated vector items -> N parallel streams
+    (reference streamops::vector_to_streams, itemsize-based: vlen=(v,)
+    output items from (nstreams*v,) input items)."""
 
-    def __init__(self, nstreams: int, dtype="cf32", name=None):
+    def __init__(self, nstreams: int, dtype="cf32", vlen: int = 1, name=None):
         super().__init__(name)
         self.nstreams = int(nstreams)
-        self.add_input("in", dtype, item_shape=(self.nstreams,))
+        self.vlen = int(vlen)
+        out_shape = () if self.vlen == 1 else (self.vlen,)
+        self.add_input("in", dtype, item_shape=(self.nstreams * self.vlen,))
         for k in range(self.nstreams):
-            self.add_output(f"out{k}", dtype)
+            self.add_output(f"out{k}", dtype, out_shape)
 
     def work(self, state, ins, params, nout):
         x = ins["in"]
-        return state, {f"out{k}": x[:, k] for k in range(self.nstreams)}
+        outs = {}
+        for k in range(self.nstreams):
+            seg = x[:, k * self.vlen : (k + 1) * self.vlen]
+            outs[f"out{k}"] = seg[:, 0] if self.vlen == 1 else seg
+        return state, outs
 
 
 class vector_to_stream(Block):

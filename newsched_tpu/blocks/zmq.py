@@ -18,20 +18,33 @@ ring-buffer back-pressure.
 from __future__ import annotations
 
 import json
+import time
 
 import numpy as np
 
-from newsched_tpu.runtime.block import Block
+from newsched_tpu.runtime.block import Block, StreamAborted
 from newsched_tpu.utils.dtypes import port_dtype
 
+_POLL_MS = 100  # abort-flag check interval while blocked on a socket
 
-def _encode_batch(arr: np.ndarray, tags=None, eof: bool = False) -> bytes:
+
+def _encode_batch(arr: np.ndarray, tags=None, eof: bool = False,
+                  abort: bool = False) -> bytes:
+    """tags: iterable of (abs_offset, key, values_seq[, payload]); payload
+    must be JSON-serializable (the wire analog of pmtf's serialization).
+    abort=True marks a partition-failure frame (the control-plane EXIT the
+    reference's runtime_monitor mirrors across processes)."""
+    ser = []
+    for t in tags or []:
+        payload = t[3] if len(t) > 3 else None
+        ser.append([int(t[0]), str(t[1]), list(map(float, t[2])), payload])
     header = {
         "dtype": arr.dtype.str,
         "count": int(arr.shape[0]),
         "shape": list(arr.shape),
         "eof": bool(eof),
-        "tags": [[int(t[0]), str(t[1]), list(map(float, t[2]))] for t in (tags or [])],
+        "abort": bool(abort),
+        "tags": ser,
     }
     hb = json.dumps(header).encode()
     return len(hb).to_bytes(4, "little") + hb + arr.tobytes()
@@ -48,6 +61,10 @@ def _decode_batch(msg: bytes):
 class _zmq_sink_base(Block):
     host_io = True
     collect_is_stream = True
+    # Receive {"data", "tags"} from the compiled step when tags flow in, so
+    # they can be serialized onto the wire (reference: buffer_net_zmq ships
+    # items AND tags, SURVEY.md §3.1).
+    collects_tags = True
 
     def __init__(self, address: str, sock_type: str, bind: bool, dtype, vlen, name):
         super().__init__(name)
@@ -59,6 +76,8 @@ class _zmq_sink_base(Block):
         self.add_input("in", self.dtype, self.vlen)
         self._sock = None
         self._ctx = None
+        self._items_sent = 0
+        self._abort = False
 
     def start(self):
         import zmq
@@ -69,12 +88,50 @@ class _zmq_sink_base(Block):
             self._sock.bind(self.address)
         else:
             self._sock.connect(self.address)
+        self._items_sent = 0
+        self._abort = False
+
+    def _send(self, data: bytes) -> None:
+        """Send with back-pressure (peer HWM) while staying responsive to a
+        local abort — a blocked plain send() could hang forever once the
+        peer partition is gone."""
+        import zmq
+
+        while True:
+            if self._abort:
+                raise StreamAborted(f"{self.name}: send aborted")
+            try:
+                self._sock.send(data, flags=zmq.NOBLOCK)
+                return
+            except zmq.Again:
+                self._sock.poll(_POLL_MS, zmq.POLLOUT)
+
+    def request_abort(self) -> None:
+        """Cross-thread: unblock a pending send and end the stream cleanly."""
+        self._abort = True
+
+    def send_abort(self) -> None:
+        """Ship an abort frame so downstream partitions fail within one
+        batch instead of waiting out their receive timeout (reference:
+        runtime_monitor mirroring EXIT across runtime_proxy, SURVEY.md §4.5)."""
+        import zmq
+
+        if self._sock is not None:
+            try:
+                self._sock.send(_encode_batch(
+                    np.empty((0,) + self.vlen, self.dtype.np_dtype), abort=True),
+                    flags=zmq.NOBLOCK)
+            except Exception:
+                pass
 
     def stop(self):
         if self._sock is not None:
             try:
+                import zmq
+
                 self._sock.send(_encode_batch(
-                    np.empty((0,) + self.vlen, self.dtype.np_dtype), eof=True))
+                    np.empty((0,) + self.vlen, self.dtype.np_dtype), eof=True),
+                    flags=zmq.NOBLOCK if self._abort else 0)
             except Exception:
                 pass
             self._sock.close(linger=1000)
@@ -83,8 +140,29 @@ class _zmq_sink_base(Block):
     def work(self, state, ins, params, nout):
         return state, ins["in"]
 
-    def host_push(self, batch: np.ndarray) -> None:
-        self._sock.send(_encode_batch(np.asarray(batch)))
+    def host_push(self, batch) -> None:
+        """batch: array, or {"data", "tags": TagBatch} when tags flow.
+        Tag offsets go absolute on the wire (sender stream position)."""
+        from newsched_tpu.runtime import tags as tags_mod
+
+        wire_tags = []
+        if isinstance(batch, dict) and "tags" in batch:
+            tb = batch["tags"]
+            batch = batch["data"]
+            offs = np.asarray(tb.offsets)
+            keys = np.asarray(tb.keys)
+            vals = np.asarray(tb.values)
+            valid = np.asarray(tb.valid)
+            pids = None if tb.pids is None else np.asarray(tb.pids)
+            for i in np.nonzero(valid)[0]:
+                payload = (tags_mod.PAYLOADS.get(int(pids[i]))
+                           if pids is not None else None)
+                wire_tags.append((self._items_sent + int(offs[i]),
+                                  tags_mod.REGISTRY.name(int(keys[i])),
+                                  vals[i].tolist(), payload))
+        arr = np.asarray(batch)
+        self._send(_encode_batch(arr, tags=wire_tags))
+        self._items_sent += int(arr.shape[0])
 
     def finalize(self, collected, total):
         pass  # streamed already via host_push
@@ -108,7 +186,7 @@ class _zmq_source_base(Block):
     host_io = True
 
     def __init__(self, address: str, sock_type: str, bind: bool, dtype, vlen, name,
-                 timeout_s: float = 30.0):
+                 timeout_s: float = 30.0, tag_capacity: int = 0):
         super().__init__(name)
         self.address = address
         self.sock_type = sock_type
@@ -116,17 +194,24 @@ class _zmq_source_base(Block):
         self.timeout_s = timeout_s
         self.dtype = port_dtype(dtype)
         self.vlen = tuple(vlen)
+        # tag_capacity > 0: re-emit received wire tags into the local tag
+        # plane (per-batch static capacity; reference buffer_net_zmq
+        # deserializes tags the same way).
+        self.tag_capacity = int(tag_capacity)
+        self.tag_aware = self.tag_capacity > 0
         self.add_output("out", self.dtype, self.vlen)
         self._sock = None
         self._residual: np.ndarray | None = None
         self._eof = False
+        self._pos = 0  # absolute items emitted
+        self._pending_tags: list = []  # (abs_offset, key, values, payload)
+        self._abort = False
 
     def start(self):
         import zmq
 
         ctx = zmq.Context.instance()
         self._sock = ctx.socket(getattr(zmq, self.sock_type))
-        self._sock.RCVTIMEO = int(self.timeout_s * 1000)
         if self.sock_type == "SUB":
             self._sock.setsockopt(zmq.SUBSCRIBE, b"")
         if self.bind:
@@ -135,13 +220,35 @@ class _zmq_source_base(Block):
             self._sock.connect(self.address)
         self._residual = np.empty((0,) + self.vlen, self.dtype.np_dtype)
         self._eof = False
+        self._pos = 0
+        self._pending_tags = []
+        self._abort = False
+
+    def request_abort(self) -> None:
+        """Cross-thread: unblock a pending receive and end the stream
+        cleanly (Runtime.stop / sibling-partition shutdown)."""
+        self._abort = True
+
+    def _recv(self) -> bytes:
+        """Blocking receive that stays responsive to a local abort and
+        enforces the receive timeout (peer liveness bound)."""
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            if self._abort:
+                raise StreamAborted(f"{self.name}: receive aborted")
+            if self._sock.poll(_POLL_MS):
+                return self._sock.recv()
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"{self.name}: no data from {self.address} within "
+                    f"{self.timeout_s}s — peer partition dead?")
 
     def stop(self):
         if self._sock is not None:
             self._sock.close(linger=0)
             self._sock = None
 
-    def host_pull(self, nout: int) -> np.ndarray:
+    def host_pull(self, nout: int):
         out = np.zeros((nout,) + self.vlen, self.dtype.np_dtype)
         got = 0
         res = self._residual
@@ -154,29 +261,85 @@ class _zmq_source_base(Block):
                 continue
             if self._eof:
                 break
-            header, payload = _decode_batch(self._sock.recv())
+            header, payload = _decode_batch(self._recv())
+            if header.get("abort"):
+                raise RuntimeError(
+                    f"{self.name}: upstream partition aborted ({self.address})")
             if header["eof"]:
                 self._eof = True
                 continue
+            for t in header.get("tags", []):
+                self._pending_tags.append((int(t[0]), str(t[1]), t[2],
+                                           t[3] if len(t) > 3 else None))
             res = payload.astype(self.dtype.np_dtype, copy=False)
         self._residual = res
-        return out
+        if not self.tag_capacity:
+            self._pos += nout
+            return out
+        return {"data": out, **self._tag_plane(nout)}
 
-    def work(self, state, ins, params, nout):
-        return state, {"out": ins["host_in"]}
+    def _tag_plane(self, nout: int) -> dict:
+        """Pop pending tags landing in [pos, pos+nout) into fixed-capacity
+        host arrays for the device tag plane."""
+        from newsched_tpu.runtime import tags as tags_mod
+
+        K = self.tag_capacity
+        offs = np.zeros((K,), np.int32)
+        keys = np.zeros((K,), np.int32)
+        vals = np.zeros((K, tags_mod.VALUE_DIM), np.float32)
+        valid = np.zeros((K,), bool)
+        pids = np.zeros((K,), np.int32)
+        start, stop = self._pos, self._pos + nout
+        keep, emit = [], []
+        for t in self._pending_tags:
+            (emit if t[0] < stop else keep).append(t)
+        self._pending_tags = keep
+        k = 0
+        for off, key, values, payload in emit:
+            if off < start:
+                self.log.warning("tag %r at %d arrived late (pos %d); dropped",
+                                 key, off, start)
+                continue
+            if k >= K:
+                self.log.warning("tag capacity %d exceeded this batch; "
+                                 "tag %r at %d dropped", K, key, off)
+                continue
+            offs[k] = off - start
+            keys[k] = tags_mod.REGISTRY.intern(key)
+            for j, v in enumerate(values[: tags_mod.VALUE_DIM]):
+                vals[k, j] = float(v)
+            if payload is not None:
+                pids[k] = tags_mod.PAYLOADS.add(payload)
+            valid[k] = True
+            k += 1
+        self._pos = stop
+        return {"offsets": offs, "keys": keys, "values": vals, "valid": valid,
+                "pids": pids}
+
+    def work(self, state, ins, params, nout, in_tags=None):
+        h = ins["host_in"]
+        if not self.tag_capacity:
+            return state, {"out": h}
+        from newsched_tpu.runtime.tags import TagBatch
+
+        tb = TagBatch(offsets=h["offsets"], keys=h["keys"], values=h["values"],
+                      valid=h["valid"], pids=h["pids"])
+        return state, {"out": h["data"]}, tb
 
 
 class pull_source(_zmq_source_base):
     """PULL socket source (reference zmq::pull_source)."""
 
     def __init__(self, address: str, bind: bool = False, dtype="cf32", vlen=(),
-                 timeout_s: float = 30.0, name=None):
-        super().__init__(address, "PULL", bind, dtype, vlen, name, timeout_s)
+                 timeout_s: float = 30.0, tag_capacity: int = 0, name=None):
+        super().__init__(address, "PULL", bind, dtype, vlen, name, timeout_s,
+                         tag_capacity)
 
 
 class sub_source(_zmq_source_base):
     """SUB socket source (reference zmq::sub_source)."""
 
     def __init__(self, address: str, bind: bool = False, dtype="cf32", vlen=(),
-                 timeout_s: float = 30.0, name=None):
-        super().__init__(address, "SUB", bind, dtype, vlen, name, timeout_s)
+                 timeout_s: float = 30.0, tag_capacity: int = 0, name=None):
+        super().__init__(address, "SUB", bind, dtype, vlen, name, timeout_s,
+                         tag_capacity)

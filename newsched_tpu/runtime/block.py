@@ -34,6 +34,14 @@ IN = "input"
 OUT = "output"
 
 
+class StreamAborted(Exception):
+    """Raised by host-IO blocks when the stream is locally aborted (user
+    stop / sibling-partition shutdown). The runner treats it as a clean
+    early end of stream — unlike a peer's abort FRAME, which raises
+    RuntimeError and propagates as a partition failure (the reference's
+    runtime_monitor DONE/EXIT vs error distinction, SURVEY.md §3.1)."""
+
+
 @dataclasses.dataclass(frozen=True)
 class Port:
     """A typed stream port. item_shape is the reference's vlen generalized:

@@ -57,6 +57,30 @@ class CompiledFlowgraph:
         return {b.name: b.param_leaves() for b in self.order}
 
 
+def _port_ratio(b: Block, port: str) -> Fraction:
+    """Items consumed on `port` per item on the block's base (ratio-1) input
+    port. Declared via ``in_port_ratios`` (reference: the forecast machinery
+    permitted arbitrary per-port ratios, SURVEY.md §3.1 work_io row)."""
+    ratios = getattr(b, "in_port_ratios", None)
+    return Fraction(ratios.get(port, 1)) if ratios else Fraction(1)
+
+
+def _in_base_rate(g: Graph, b: Block, rates: dict[str, Fraction]) -> Fraction:
+    """The block's base input rate: each input edge must carry
+    base * ratio(port) items/ref-item."""
+    bases = {}
+    for e in g.in_edges(b):
+        bases[e.dst_port] = rates[e.src.name] / _port_ratio(b, e.dst_port)
+    uniq = set(bases.values())
+    if len(uniq) != 1:
+        raise ValueError(
+            f"{b.name}: input rate mismatch {sorted(bases.items())} — each "
+            "input must run at base_rate * in_port_ratios[port] (default "
+            "ratio 1, i.e. all inputs at one rate)"
+        )
+    return uniq.pop()
+
+
 def _propagate_rates(g: Graph, order: list[Block]) -> dict[str, Fraction]:
     rates: dict[str, Fraction] = {}
     for b in order:
@@ -64,13 +88,7 @@ def _propagate_rates(g: Graph, order: list[Block]) -> dict[str, Fraction]:
         if not ins:
             rates[b.name] = Fraction(b.relative_rate)
             continue
-        in_rates = {rates[e.src.name] for e in ins}
-        if len(in_rates) != 1:
-            raise ValueError(
-                f"{b.name}: input rate mismatch {sorted(in_rates)} — all inputs "
-                "of a block must run at the same rate"
-            )
-        rates[b.name] = next(iter(in_rates)) * Fraction(b.relative_rate)
+        rates[b.name] = _in_base_rate(g, b, rates) * Fraction(b.relative_rate)
     return rates
 
 
@@ -103,15 +121,7 @@ def _propagate_bounds(
     """
     bounds: dict[str, int | None] = {}
     for b in order:
-        ins = g.in_edges(b)
-        if ins:
-            in_bs = [bounds[e.src.name] for e in ins]
-            in_bound = None
-            for x in in_bs:
-                if x is not None:
-                    in_bound = x if in_bound is None else min(in_bound, x)
-        else:
-            in_bound = None
+        in_bound = _in_base_bound(g, b, bounds)
         limit = getattr(b, "finite_items", None)
         if limit is not None:
             own = limit(in_bound)
@@ -150,7 +160,9 @@ def compile_flowgraph(
     n_out: dict[str, int] = {}
     for b in order:
         ins = g.in_edges(b)
-        n_in[b.name] = int(rates[ins[0].src.name] * N) if ins else 0
+        # n_in is in BASE-port items (ports with a declared ratio consume
+        # ratio * n_in items per batch; their edge counts carry that).
+        n_in[b.name] = int(_in_base_rate(g, b, rates) * N) if ins else 0
         r = rates[b.name] * N
         if r.denominator != 1:
             raise AssertionError(f"non-integer batch for {b.name}: {r}")
@@ -170,7 +182,8 @@ def compile_flowgraph(
     leads: dict[str, int] = {}
     for b in order:
         ins = g.in_edges(b)
-        in_lead = max((leads[e.src.name] for e in ins), default=0)
+        in_lead = max((int(Fraction(leads[e.src.name]) / _port_ratio(b, e.dst_port))
+                       for e in ins), default=0)
         fn = getattr(b, "lead_items", None)
         if fn is not None:
             leads[b.name] = fn(in_lead, n_in[b.name], n_out[b.name])
@@ -215,17 +228,26 @@ def compile_flowgraph(
     )
 
 
+def _in_base_bound(g: Graph, b: Block, bounds: dict) -> int | None:
+    """Tightest input bound expressed in base-port items (per-port ratios
+    normalize each edge's total)."""
+    in_bound = None
+    for e in g.in_edges(b):
+        x = bounds[e.src.name]
+        if x is None:
+            continue
+        x = int(Fraction(x) / _port_ratio(b, e.dst_port))
+        in_bound = x if in_bound is None else min(in_bound, x)
+    return in_bound
+
+
 def _merge_bounds(g, order, rates, seeded):
     bounds = dict(seeded)
     for b in order:
         ins = g.in_edges(b)
         if not ins:
             continue
-        in_bound = None
-        for e in ins:
-            x = bounds[e.src.name]
-            if x is not None:
-                in_bound = x if in_bound is None else min(in_bound, x)
+        in_bound = _in_base_bound(g, b, bounds)
         limit = getattr(b, "finite_items", None)
         if limit is not None:
             own = limit(in_bound)

@@ -61,6 +61,11 @@ def partition_flowgraph(fg: Flowgraph, groups: dict[str, list],
     out: dict[str, Flowgraph] = {g: Flowgraph(f"{fg.name}:{g}", fg.batch_size)
                                  for g in groups}
     addresses = dict(addresses or {})
+    # Tags crossing a process boundary ride the zmq wire (reference:
+    # buffer_net_zmq serializes items AND tags, SURVEY.md §3.1): give each
+    # crossing-edge receiver a static per-batch capacity bounded by the
+    # whole graph's tag emission.
+    tag_cap = sum(int(getattr(b, "tag_capacity", 0)) for b in fg.blocks)
     for e in fg.edges:
         sg, dg = owner[e.src.name], owner[e.dst.name]
         if sg == dg:
@@ -75,7 +80,7 @@ def partition_flowgraph(fg: Flowgraph, groups: dict[str, list],
                                    vlen=sp.item_shape,
                                    name=f"xfer_out_{e.src.name}_{e.src_port}")
         srcb = zmq_blocks.pull_source(addr, bind=False, dtype=sp.dtype,
-                                      vlen=sp.item_shape,
+                                      vlen=sp.item_shape, tag_capacity=tag_cap,
                                       name=f"xfer_in_{e.dst.name}_{e.dst_port}")
         out[sg].connect(e.src, e.src_port, snk, 0)
         out[dg].connect(srcb, 0, e.dst, e.dst_port)
@@ -84,7 +89,14 @@ def partition_flowgraph(fg: Flowgraph, groups: dict[str, list],
 
 class Runtime:
     """Run several partitions concurrently in this process (reference:
-    runtime::initialize + start/wait with one scheduler per partition)."""
+    runtime::initialize + start/wait with one scheduler per partition).
+
+    Control plane (reference: runtime_monitor/proxy mirroring
+    DONE/FLUSH/EXIT, SURVEY.md §4.5): when a partition fails, it ships
+    abort frames on its outgoing zmq edges (downstream peers fail within
+    one batch) and this Runtime stops its sibling partitions immediately;
+    ``wait()`` then raises with the first error. ``stop()`` aborts a
+    running distributed graph cleanly."""
 
     def __init__(self, partitions: dict[str, Flowgraph],
                  total_items: dict[str, int] | None = None):
@@ -92,21 +104,34 @@ class Runtime:
         self.total_items = total_items or {}
         self._threads: list[threading.Thread] = []
         self._errors: dict[str, str] = {}
+        self._error_order: list[str] = []
+        self._runners: dict[str, object] = {}
 
     def start(self) -> None:
+        from newsched_tpu.runtime.block import StreamAborted
         from newsched_tpu.runtime.runner import Runner
 
         def run_one(name: str, fg: Flowgraph):
+            runner = None
             try:
                 fg.validate()
                 runner = Runner(fg, batch_size=fg.batch_size,
                                 total_items=self.total_items.get(name))
+                self._runners[name] = runner
                 runner.run_to_completion()
+            except StreamAborted:
+                log.info("partition %s aborted cleanly", name)
             except Exception:
                 import traceback
 
                 self._errors[name] = traceback.format_exc()
+                self._error_order.append(name)
                 log.error("partition %s failed:\n%s", name, self._errors[name])
+                # Fail fast everywhere: downstream peers get abort frames,
+                # sibling partitions in this process are stopped directly.
+                if runner is not None:
+                    runner.abort_peers()
+                self._stop_siblings(name)
 
         for name, fg in self.partitions.items():
             t = threading.Thread(target=run_one, args=(name, fg), daemon=True,
@@ -114,12 +139,24 @@ class Runtime:
             self._threads.append(t)
             t.start()
 
+    def _stop_siblings(self, failed: str) -> None:
+        for name, runner in list(self._runners.items()):
+            if name != failed:
+                runner.request_stop()
+
+    def stop(self) -> None:
+        """Abort all partitions cleanly (reference: runtime stop broadcast)."""
+        for runner in list(self._runners.values()):
+            runner.request_stop()
+
     def wait(self) -> None:
         for t in self._threads:
             t.join()
         if self._errors:
-            raise RuntimeError(f"partitions failed: {list(self._errors)}\n"
-                               + "\n".join(self._errors.values()))
+            first = self._error_order[0] if self._error_order else next(iter(self._errors))
+            raise RuntimeError(
+                f"partition {first!r} failed (all failed: {list(self._errors)})\n"
+                + self._errors[first])
 
     def run(self) -> None:
         self.start()

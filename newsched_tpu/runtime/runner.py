@@ -5,9 +5,11 @@ flowgraph_monitor (SURVEY.md §3.2): where nbt spun one thread per block
 group and coordinated DONE/FLUSH/EXIT messages, this runner executes the
 single compiled step function in one of two modes:
 
-- **scan mode** (default when every block is device-pure): the whole
-  bounded stream runs as one ``lax.scan`` on device — zero host round
-  trips, XLA pipelines everything. Unbounded-with-scan is chunked.
+- **scan mode** (default when every block is device-pure): a bounded
+  stream runs as one ``lax.scan`` on device — zero host round trips, XLA
+  pipelines everything. An unbounded device-pure stream under start()
+  runs as repeated scan chunks until stop() (run() on an unbounded graph
+  raises — it could never return).
 - **loop mode** (host IO / throttle / live control): a Python loop calls the
   jitted step per batch with donated state, dispatching asynchronously so
   host work overlaps device compute; between batches it drains the message
@@ -30,6 +32,7 @@ from typing import Any
 import jax
 import numpy as np
 
+from newsched_tpu.runtime.block import StreamAborted
 from newsched_tpu.runtime.compile import compile_flowgraph
 from newsched_tpu.utils import cplx
 from newsched_tpu.utils.logger import get_logger
@@ -96,6 +99,22 @@ class Runner:
 
     def request_stop(self) -> None:
         self._stop.set()
+        # Unblock any host-IO block stuck on a socket so the stop takes
+        # effect within one poll interval, not one receive timeout.
+        for b in self.cfg.order:
+            if hasattr(b, "request_abort"):
+                b.request_abort()
+
+    def abort_peers(self) -> None:
+        """This partition failed: ship abort frames downstream so peers
+        fail within one batch (reference: runtime_monitor mirroring EXIT
+        across runtime_proxy, SURVEY.md §4.5)."""
+        for b in self.cfg.order:
+            if hasattr(b, "send_abort"):
+                try:
+                    b.send_abort()
+                except Exception:
+                    pass
 
     # -- execution -------------------------------------------------------
     def run_to_completion(self) -> None:
@@ -117,10 +136,7 @@ class Runner:
                     "flowgraph is unbounded: add a head block, a finite source, "
                     "or pass total_items (or use start()/stop() for live runs)"
                 )
-            use_scan = not (self._has_host_io or self._has_pacing
-                            or self._msg_queue or self.cfg.n_batches < 2
-                            or self.resume_from or self.checkpoint_path
-                            or self.collect_stats)
+            use_scan = self._can_scan() and self.cfg.n_batches >= 2
             if use_scan:
                 self._run_scan(self.cfg.n_batches)
             else:
@@ -129,6 +145,13 @@ class Runner:
             for b in self.cfg.order:
                 b.stop()
                 b._runtime = None
+
+    def _can_scan(self) -> bool:
+        """Device-pure graph: no host IO, pacing, messages, checkpointing,
+        or stats — everything can stay on device across batches."""
+        return not (self._has_host_io or self._has_pacing or self._msg_queue
+                    or self.resume_from or self.checkpoint_path
+                    or self.collect_stats)
 
     def _run_scan(self, n_batches: int) -> None:
         step = self.cfg.step
@@ -207,47 +230,60 @@ class Runner:
         pushers = {b.name: b for b in self.cfg.order if hasattr(b, "host_push")}
         t0 = time.monotonic()
         items_done = 0
-        for i in range(start_batch, n_batches):
-            if self._stop.is_set():
-                break
-            bt0 = time.monotonic() if self.collect_stats else 0.0
-            self._drain_msgs()
-            if self._dirty_params:
-                for name in self._dirty_params:
-                    blk = next(b for b in self.cfg.order if b.name == name)
-                    params[name] = cplx.encode(blk.param_leaves())
-                self._dirty_params.clear()
-            host_ins = cplx.encode(
-                {b.name: b.host_pull(self.cfg.n_out[b.name]) for b in pullers}
-            )
-            states, sink_out = self._jit_step(states, params, host_ins)
-            for name, v in sink_out.items():
-                if name in pushers:
-                    # streaming egress (zmq/audio-style sinks): deliver this
-                    # batch now rather than accumulating to the end
-                    pushers[name].host_push(cplx.decode(jax.device_get(v)))
-                else:
-                    per_sink[name].append(v)
-            items_done += self.cfg.batch_ref
-            if self.checkpoint_path and self.checkpoint_every and \
-                    (i + 1) % self.checkpoint_every == 0:
-                self._save_checkpoint(states, i + 1)
-            if self.collect_stats:
-                jax.block_until_ready(states)
-                self.stats["batch_seconds"].append(time.monotonic() - bt0)
-                self.stats["batches"] += 1
-                self.stats["items"] += self.cfg.batch_ref
-            self._pace(items_done, t0)
+        try:
+            for i in range(start_batch, n_batches):
+                if self._stop.is_set():
+                    break
+                bt0 = time.monotonic() if self.collect_stats else 0.0
+                self._drain_msgs()
+                if self._dirty_params:
+                    for name in self._dirty_params:
+                        blk = next(b for b in self.cfg.order if b.name == name)
+                        params[name] = cplx.encode(blk.param_leaves())
+                    self._dirty_params.clear()
+                host_ins = cplx.encode(
+                    {b.name: b.host_pull(self.cfg.n_out[b.name]) for b in pullers}
+                )
+                states, sink_out = self._jit_step(states, params, host_ins)
+                for name, v in sink_out.items():
+                    if name in pushers:
+                        # streaming egress (zmq/audio-style sinks): deliver
+                        # this batch now rather than accumulating to the end
+                        pushers[name].host_push(cplx.decode(jax.device_get(v)))
+                    else:
+                        per_sink[name].append(v)
+                items_done += self.cfg.batch_ref
+                if self.checkpoint_path and self.checkpoint_every and \
+                        (i + 1) % self.checkpoint_every == 0:
+                    self._save_checkpoint(states, i + 1)
+                if self.collect_stats:
+                    jax.block_until_ready(states)
+                    self.stats["batch_seconds"].append(time.monotonic() - bt0)
+                    self.stats["batches"] += 1
+                    self.stats["items"] += self.cfg.batch_ref
+                self._pace(items_done, t0)
+        except StreamAborted as e:
+            # Clean local abort (Runtime.stop / sibling shutdown): end the
+            # stream here, deliver what was collected.
+            log.info("stream aborted: %s", e)
         jax.block_until_ready(states)
         if self.checkpoint_path:
             self._save_checkpoint(states, n_batches)
         self._deliver_batches({k: v for k, v in per_sink.items() if v})
 
     def _pace(self, items_done: int, t0: float) -> None:
+        """items_done is at the REFERENCE rate; each throttle paces by the
+        item count in its own stream domain (rate-scaled), so a throttle
+        after a decimator sees 1/decim of the reference items. The slowest
+        throttle governs (max target time)."""
         if not self._has_pacing:
             return
-        rates = [b.pacing for b in self.cfg.order if getattr(b, "pacing", None)]
-        target = items_done / min(rates)
+        target = 0.0
+        for b in self.cfg.order:
+            p = getattr(b, "pacing", None)
+            if p:
+                items_here = items_done * float(self.cfg.rates[b.name])
+                target = max(target, items_here / p)
         dt = target - (time.monotonic() - t0)
         if dt > 0:
             time.sleep(dt)
@@ -284,14 +320,18 @@ class Runner:
             b.finalize(self._trim(b, cplx.decode(collected_host)), total)
 
     def _deliver_stacked(self, stacked: dict[str, Any], n_batches: int) -> None:
+        # ONE device_get for all sinks: per-sink fetches each paid a full
+        # tunnel round trip on the axon backend (bench fanout was 8x slower).
+        host = jax.device_get(stacked)
         for b in self.cfg.order:
-            if b.name in stacked:
-                self._finalize_sink(b, _unstack_to_host(stacked[b.name]))
+            if b.name in host:
+                self._finalize_sink(b, _unstack_to_host(host[b.name]))
 
     def _deliver_batches(self, per_sink: dict[str, list]) -> None:
+        host = jax.device_get(per_sink)
         for b in self.cfg.order:
-            if b.name in per_sink and per_sink[b.name]:
-                self._finalize_sink(b, _transpose(per_sink[b.name]))
+            if b.name in host and host[b.name]:
+                self._finalize_sink(b, _transpose(host[b.name]))
 
     # -- async (start/wait) ---------------------------------------------
     def start_async(self) -> None:
@@ -300,15 +340,67 @@ class Runner:
 
     def _async_body(self) -> None:
         try:
-            n = self.cfg.n_batches
-            if n is None:
-                n = 1 << 62  # run until stop()
-            self._run_loop(n)
+            for b in self.cfg.order:
+                b._runtime = self
+                b.start()
+            try:
+                n = self.cfg.n_batches
+                if n is None:
+                    # Unbounded: device-pure graphs run as repeated jitted
+                    # scan chunks (zero per-batch host round trips); host-IO
+                    # graphs fall back to the per-batch loop.
+                    if self._can_scan():
+                        self._run_unbounded_chunked()
+                    else:
+                        self._run_loop(1 << 62)  # until stop()
+                else:
+                    self._run_loop(n)
+            finally:
+                for b in self.cfg.order:
+                    b.stop()
+                    b._runtime = None
         except Exception:  # surfaced on wait()
             import traceback
 
             self._exc = traceback.format_exc()
             log.error("runner thread failed:\n%s", self._exc)
+
+    def _run_unbounded_chunked(self, chunk: int = 8) -> None:
+        """Unbounded device-pure stream as repeated ``lax.scan`` chunks.
+        stop() and parameter changes take effect at chunk granularity;
+        sink data is host-fetched once per chunk and delivered on stop."""
+        step = self.cfg.step
+
+        @jax.jit
+        def run_chunk(states_enc, params_enc):
+            params = cplx.decode(params_enc)
+
+            def scan_fn(se, _):
+                ns, so = step(cplx.decode(se), params)
+                return cplx.encode(ns), cplx.encode(so)
+
+            return jax.lax.scan(scan_fn, states_enc, xs=None, length=chunk)
+
+        states = self._init_states_enc()
+        params = self._params_enc()
+        per_sink: dict[str, list] = {name: [] for name in self.cfg.sink_totals}
+        while not self._stop.is_set():
+            self._drain_msgs()
+            if self._dirty_params:
+                for name in self._dirty_params:
+                    blk = next(b for b in self.cfg.order if b.name == name)
+                    params[name] = cplx.encode(blk.param_leaves())
+                self._dirty_params.clear()
+            states, stacked = run_chunk(states, params)
+            host = jax.device_get(stacked)
+            for name, v in host.items():
+                per_sink[name].append(_unstack_to_host(v))
+            self.stats["batches"] += chunk
+            self.stats["items"] += chunk * self.cfg.batch_ref
+        jax.block_until_ready(states)
+        for b in self.cfg.order:
+            if b.name in per_sink and per_sink[b.name]:
+                self._finalize_sink(b, _concat_chunks(per_sink[b.name]))
 
     def wait(self) -> None:
         if self._thread is not None:
@@ -339,6 +431,21 @@ def _unstack_to_host(tree):
         return np.reshape(a, (-1,) + a.shape[2:])
 
     return jax.tree_util.tree_map(fix, host, is_leaf=_is_tagbatch)
+
+
+def _concat_chunks(chunks: list):
+    """List of already-flattened chunk pytrees (from _unstack_to_host) ->
+    one host pytree: stream leaves AND TagBatch per-batch axes concatenate."""
+    from newsched_tpu.runtime.tags import TagBatch
+
+    def comb(*xs):
+        if _is_tagbatch(xs[0]):
+            return TagBatch(*(np.concatenate([np.asarray(getattr(x, f)) for x in xs])
+                              if getattr(xs[0], f) is not None else None
+                              for f in xs[0]._fields))
+        return np.concatenate([np.atleast_1d(np.asarray(x)) for x in xs])
+
+    return jax.tree_util.tree_map(comb, *chunks, is_leaf=_is_tagbatch)
 
 
 def _transpose(batches: list):

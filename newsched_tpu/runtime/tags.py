@@ -27,7 +27,7 @@ placement convention).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -41,18 +41,24 @@ class TagBatch(NamedTuple):
     keys: jax.Array  # int32[K]
     values: jax.Array  # f32[K, VALUE_DIM]
     valid: jax.Array  # bool[K]
+    # Rich-payload handle: 0 = none, else 1-based index into the host-side
+    # PAYLOADS registry (the pmtf-map analog: arbitrary Python payloads
+    # never touch the device, only their int32 handle does). Optional
+    # (None) so numeric-only tag planes pay nothing.
+    pids: Any = None  # int32[K] | None
 
     @property
     def capacity(self) -> int:
         return self.offsets.shape[0]
 
 
-def empty(capacity: int) -> TagBatch:
+def empty(capacity: int, with_pids: bool = False) -> TagBatch:
     return TagBatch(
         offsets=jnp.zeros((capacity,), jnp.int32),
         keys=jnp.zeros((capacity,), jnp.int32),
         values=jnp.zeros((capacity, VALUE_DIM), jnp.float32),
         valid=jnp.zeros((capacity,), jnp.bool_),
+        pids=jnp.zeros((capacity,), jnp.int32) if with_pids else None,
     )
 
 
@@ -68,13 +74,19 @@ def shift(tags: TagBatch, delta) -> TagBatch:
     return tags._replace(offsets=(tags.offsets + jnp.int32(delta)).astype(jnp.int32))
 
 
+def _pids_of(t: TagBatch):
+    return t.pids if t.pids is not None else jnp.zeros((t.capacity,), jnp.int32)
+
+
 def merge(a: TagBatch, b: TagBatch) -> TagBatch:
     """Concatenate two tag batches (capacity grows; compile-time static)."""
+    any_pids = a.pids is not None or b.pids is not None
     return TagBatch(
         offsets=jnp.concatenate([a.offsets, b.offsets]),
         keys=jnp.concatenate([a.keys, b.keys]),
         values=jnp.concatenate([a.values, b.values]),
         valid=jnp.concatenate([a.valid, b.valid]),
+        pids=jnp.concatenate([_pids_of(a), _pids_of(b)]) if any_pids else None,
     )
 
 
@@ -98,28 +110,53 @@ class KeyRegistry:
 REGISTRY = KeyRegistry()
 
 
+class PayloadRegistry:
+    """Host-side store of rich tag payloads (the pmtf-map analog): arbitrary
+    Python objects keyed by the 1-based int handle the device carries in
+    TagBatch.pids. Per-process; the zmq wire re-interns on receive."""
+
+    def __init__(self):
+        self._items: list = []
+
+    def add(self, obj) -> int:
+        self._items.append(obj)
+        return len(self._items)  # 1-based; 0 = no payload
+
+    def get(self, pid: int):
+        return self._items[pid - 1] if 0 < pid <= len(self._items) else None
+
+
+PAYLOADS = PayloadRegistry()
+
+
 class Tag(NamedTuple):
-    """Host-side tag: absolute offset + key + payload vector."""
+    """Host-side tag: absolute offset + key + numeric vector (+ optional
+    rich payload, the pmtf-map analog)."""
 
     offset: int
     key: str
     value: tuple
+    payload: Any = None
 
 
 def decode_batches(stacked: TagBatch, items_per_batch: int,
-                   registry: KeyRegistry = REGISTRY) -> list[Tag]:
+                   registry: KeyRegistry = REGISTRY,
+                   payloads: PayloadRegistry = PAYLOADS) -> list[Tag]:
     """Host: stacked per-batch TagBatch (leading n_batches axis) -> absolute
     tags list."""
     offs = np.asarray(stacked.offsets)
     keys = np.asarray(stacked.keys)
     vals = np.asarray(stacked.values)
     valid = np.asarray(stacked.valid)
+    pids = None if stacked.pids is None else np.asarray(stacked.pids)
     out: list[Tag] = []
     n_batches = offs.shape[0]
     for b in range(n_batches):
         for i in np.nonzero(valid[b])[0]:
+            payload = payloads.get(int(pids[b, i])) if pids is not None else None
             out.append(Tag(int(offs[b, i]) + b * items_per_batch,
                            registry.name(int(keys[b, i])),
-                           tuple(float(v) for v in vals[b, i])))
+                           tuple(float(v) for v in vals[b, i]),
+                           payload))
     out.sort(key=lambda t: t.offset)
     return out

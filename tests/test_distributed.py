@@ -90,3 +90,91 @@ def test_true_multiprocess_stream():
             if child.poll() is None:
                 child.kill()
     np.testing.assert_array_equal(got, data)
+
+
+def test_tags_cross_partition_boundary():
+    """Tags emitted in group A arrive at a vector_sink in group B with exact
+    offsets and payloads (reference: buffer_net_zmq ships items AND tags,
+    VERDICT r1 item 2)."""
+    data = _rand_complex(4096, seed=52)
+    meta = {"id": 7}
+    fg = Flowgraph(batch_size=512)
+    src = general.vector_source(
+        data, tags=[(0, "start", 1.0), (1500, "rich", meta), (4000, "end")])
+    cp = general.copy()
+    mc = gmath.multiply_const(0.5, dtype="cf32")
+    snk = general.vector_sink()
+    fg.connect(src, 0, cp, 0)
+    fg.connect(cp, 0, mc, 0)
+    fg.connect(mc, 0, snk, 0)
+    parts = partition_flowgraph(fg, {"head": [src, cp], "tail": [mc, snk]})
+    rt = Runtime(parts, total_items={"tail": len(data)})
+    rt.run()
+    np.testing.assert_allclose(snk.data(), data * 0.5, rtol=1e-6)
+    got = [(t.offset, t.key) for t in snk.tags()]
+    assert got == [(0, "start"), (1500, "rich"), (4000, "end")]
+    by_key = {t.key: t for t in snk.tags()}
+    assert by_key["start"].value[0] == 1.0
+    assert by_key["rich"].payload == meta
+
+
+def test_partition_failure_aborts_peers_promptly():
+    """VERDICT r1 item 5: a partition dying mid-stream ships abort frames;
+    peers fail within ~one batch instead of waiting out the 30 s receive
+    timeout, and wait() raises the ORIGINATING error first."""
+    import time
+
+    from newsched_tpu.runtime.block import Block
+
+    class failing_source(Block):
+        host_io = True
+
+        def __init__(self, name=None):
+            super().__init__(name)
+            self.add_output("out", "cf32")
+            self.calls = 0
+
+        def host_pull(self, nout):
+            self.calls += 1
+            if self.calls >= 3:
+                raise RuntimeError("boom: synthetic partition failure")
+            return np.zeros((nout,), np.complex64)
+
+        def work(self, state, ins, params, nout):
+            return state, {"out": ins["host_in"]}
+
+    fg = Flowgraph(batch_size=512)
+    src = failing_source()
+    snk = general.vector_sink()
+    fg.connect(src, 0, snk, 0)
+    parts = partition_flowgraph(fg, {"a": [src], "b": [snk]})
+    rt = Runtime(parts, total_items={"a": 1 << 30, "b": 1 << 30})
+    t0 = time.monotonic()
+    rt.start()
+    with pytest.raises(RuntimeError, match="boom"):
+        rt.wait()
+    assert time.monotonic() - t0 < 15  # not the 30 s receive timeout
+
+
+def test_runtime_stop_aborts_cleanly():
+    """Runtime.stop() ends a running distributed graph without errors."""
+    import time
+
+    data = _rand_complex(512, seed=53)
+    fg = Flowgraph(batch_size=512)
+    src = general.vector_source(data, repeat=True)
+    cp = general.copy()
+    snk = general.null_sink()
+    fg.connect(src, 0, cp, 0)
+    fg.connect(cp, 0, snk, 0)
+    parts = partition_flowgraph(fg, {"a": [src], "b": [cp, snk]})
+    rt = Runtime(parts, total_items={"a": 1 << 30, "b": 1 << 30})
+    rt.start()
+    deadline = time.monotonic() + 30
+    while len(rt._runners) < 2 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    time.sleep(0.5)  # let a few batches stream
+    rt.stop()
+    t0 = time.monotonic()
+    rt.wait()  # no raise
+    assert time.monotonic() - t0 < 10

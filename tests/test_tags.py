@@ -80,3 +80,88 @@ def test_untagged_graph_has_no_tags():
     fg.connect(src, 0, snk, 0)
     fg.run()
     assert snk.tags() == []
+
+
+def test_tag_policy_one_to_one():
+    """Reference TPP_ONE_TO_ONE: tags from input port i appear only on
+    output port i (not merged across ports)."""
+    from newsched_tpu.runtime.block import SyncBlock
+
+    class two_lane(SyncBlock):
+        tag_policy = "one_to_one"
+
+        def __init__(self, name=None):
+            super().__init__(name)
+            self.add_input("in0", "cf32")
+            self.add_input("in1", "cf32")
+            self.add_output("out0", "cf32")
+            self.add_output("out1", "cf32")
+
+        def work(self, state, ins, params, nout):
+            return state, {"out0": ins["in0"] * 2, "out1": ins["in1"] * 3}
+
+    a = _rand_complex(512, seed=1)
+    b = _rand_complex(512, seed=2)
+    fg = Flowgraph(batch_size=128)
+    sa = general.vector_source(a, tags=[(5, "from_a")])
+    sb = general.vector_source(b, tags=[(200, "from_b")])
+    blk = two_lane()
+    s0 = general.vector_sink()
+    s1 = general.vector_sink()
+    fg.connect(sa, 0, blk, 0)
+    fg.connect(sb, 0, blk, 1)
+    fg.connect(blk, 0, s0, 0)
+    fg.connect(blk, "out1", s1, 0)
+    fg.run()
+    assert [(t.offset, t.key) for t in s0.tags()] == [(5, "from_a")]
+    assert [(t.offset, t.key) for t in s1.tags()] == [(200, "from_b")]
+    np.testing.assert_allclose(s0.data(), a * 2, rtol=1e-6)
+    np.testing.assert_allclose(s1.data(), b * 3, rtol=1e-6)
+
+
+def test_tag_policy_one_to_one_arity_error():
+    """ONE_TO_ONE with mismatched port counts is rejected at compile time
+    (the reference raises at runtime)."""
+    import pytest
+
+    from newsched_tpu.runtime.block import SyncBlock
+
+    class bad(SyncBlock):
+        tag_policy = "one_to_one"
+
+        def __init__(self, name=None):
+            super().__init__(name)
+            self.add_input("in0", "cf32")
+            self.add_input("in1", "cf32")
+            self.add_output("out", "cf32")
+
+        def work(self, state, ins, params, nout):
+            return state, {"out": ins["in0"] + ins["in1"]}
+
+    fg = Flowgraph(batch_size=128)
+    sa = general.vector_source(_rand_complex(256), tags=[(0, "t")])
+    sb = general.vector_source(_rand_complex(256))
+    blk = bad()
+    snk = general.vector_sink()
+    fg.connect(sa, 0, blk, 0)
+    fg.connect(sb, 0, blk, 1)
+    fg.connect(blk, 0, snk, 0)
+    with pytest.raises(ValueError, match="one_to_one"):
+        fg.run()
+
+
+def test_rich_tag_payloads():
+    """pmtf-map analog: arbitrary Python payloads ride the host-side
+    registry, keyed by the int handle in the device tag plane."""
+    data = _rand_complex(1024)
+    meta = {"freq": 92.5e6, "label": "station"}
+    fg = Flowgraph(batch_size=256)
+    src = general.vector_source(
+        data, tags=[(3, "numeric", 1.5), (700, "rich", meta)])
+    snk = general.vector_sink()
+    fg.connect(src, 0, snk, 0)
+    fg.run()
+    got = {t.key: t for t in snk.tags()}
+    assert got["numeric"].value[0] == 1.5 and got["numeric"].payload is None
+    assert got["rich"].offset == 700
+    assert got["rich"].payload == meta
