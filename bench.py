@@ -11,7 +11,15 @@ Honest-timing rules for the axon tunnel (learned the hard way):
   lax.scan and returns a per-step f32 checksum — executions with complex
   boundary buffers can fail silently and return instantly, so every number
   reported here is backed by fetched f32 values checked against a float64
-  numpy reference.
+  numpy reference;
+- the tunnel charges a large FIXED cost per dispatch (~24 ms measured,
+  varies by session — see bench/exp_ksweep.py), so naive total/K
+  over-reports per-step time by dispatch/K. The headline is therefore the
+  two-point fit: step = (T(K2) - T(K1)) / (K2 - K1), i.e. the true
+  on-device streaming rate; the dispatch cost is reported separately on
+  stderr. (On a local PJRT host dispatch is ~us-scale and amortizes to
+  nothing over a production stream; it is a tunnel artifact, not a
+  property of the compiled program.)
 """
 
 from __future__ import annotations
@@ -122,8 +130,10 @@ def cpu_reference_throughput(taps, audio_taps, n: int = 1 << 20) -> float:
     return sps
 
 
-def tpu_run(taps, audio_taps, batch: int, k_steps: int):
-    """Returns (jitted runner, x planes, encoded state, channelizer)."""
+def tpu_run(taps, audio_taps, batch: int):
+    """Returns (make_run_k, one_batch_audio, x planes, channelizer, x, B)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -140,8 +150,8 @@ def tpu_run(taps, audio_taps, batch: int, k_steps: int):
     xp = ComplexParts(jnp.asarray(np.real(xc).astype(np.float32)),
                       jnp.asarray(np.imag(xc).astype(np.float32)))
 
-    @jax.jit
-    def run_k(xp, state_enc):
+    @functools.partial(jax.jit, static_argnames=("k_steps",))
+    def run_k(xp, state_enc, k_steps):
         def body(st, _):
             audio, st2 = ch.step_enc(xp, st)
             return st2, jnp.sum(jnp.abs(audio))
@@ -168,9 +178,8 @@ def main():
     taps, audio_taps = _design()
     cpu_sps = cpu_reference_throughput(taps, audio_taps)
 
-    K = 100
-    run_k, one_batch_audio, xp, ch, xc, B = tpu_run(taps, audio_taps, batch=1 << 21,
-                                                    k_steps=K)
+    K1, K2 = 100, 400
+    run_k, one_batch_audio, xp, ch, xc, B = tpu_run(taps, audio_taps, batch=1 << 21)
     log(f"devices: {jax.devices()}, batch {B}")
 
     # Correctness gate: first batch audio vs float64 reference.
@@ -184,23 +193,33 @@ def main():
                           "error": f"SNR gate failed: {gate:.1f} dB"}))
         return
 
-    # Timed region: one jitted call running K dependent steps.
+    # Timed region: jitted K-step scans at two K values; the two-point fit
+    # removes the tunnel's fixed per-dispatch cost (see module docstring).
     state = ch.init_state_enc()
     t0 = time.perf_counter()
-    state, sums = run_k(xp, state)
+    state, sums = run_k(xp, state, K1)
     jax.block_until_ready(sums)
-    log(f"compile+first {K} steps: {time.perf_counter()-t0:.1f}s; "
+    log(f"compile+first {K1} steps: {time.perf_counter()-t0:.1f}s; "
         f"checksum[0]={float(np.asarray(sums)[0]):.1f}")
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        state, sums = run_k(xp, state)
-        s = jax.device_get(sums)  # forces full completion + value fetch
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-        assert np.all(np.isfinite(s)), "non-finite checksums"
-    sps = B * K / best
-    log(f"tpu: {B} x {K} steps in {best:.3f}s -> {sps/1e6:.1f} Msps")
+    totals = {}
+    for k in (K1, K2):
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, sums = run_k(xp, state, k)
+            s = jax.device_get(sums)  # forces full completion + value fetch
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+            assert np.all(np.isfinite(s)), "non-finite checksums"
+        totals[k] = best
+    step_s = (totals[K2] - totals[K1]) / (K2 - K1)
+    dispatch_s = totals[K1] - K1 * step_s
+    sps = B / step_s
+    naive = B * K1 / totals[K1]
+    log(f"tpu: T({K1})={totals[K1]*1e3:.1f}ms T({K2})={totals[K2]*1e3:.1f}ms "
+        f"-> {step_s*1e6:.1f} us/step on-device ({sps/1e6:.1f} Msps); "
+        f"dispatch overhead {dispatch_s*1e3:.1f} ms/call "
+        f"(naive-with-dispatch: {naive/1e6:.1f} Msps)")
 
     print(json.dumps({
         "metric": "fm_channelizer_64ch_throughput",

@@ -68,6 +68,16 @@ def _kernel(vp_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
                           sem.at[slot]).wait()
     cur = win.at[slot]
 
+    if variant == "dma_only":
+        aud_ref[:, :] = cur[0:T // AUDIO_DECIM, :]
+        carry_prev[:, :] = cur[0:1, :]
+        carry_tail[:, :] = cur[0:A - 1, :]
+
+        @pl.when(i == n - 1)
+        def _():
+            prev_out_ref[:, :] = carry_prev[:, :]
+            tail_out_ref[:, :] = carry_tail[:, :]
+        return
     if variant == "no_fold":
         acc = c_ref[0][None, :] * cur[0:T, :]
     else:
@@ -78,18 +88,21 @@ def _kernel(vp_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
         Y = acc
     else:
         Y = _mm(acc, w_ref[:, :])
-    Aprev = jnp.concatenate([carry_prev[:, :], Y[:-1, :]], axis=0)
-    Yr64 = pltpu.roll(Y, M, 1)
-    t1 = Aprev * Y
-    t2 = Aprev * Yr64
-    PR = t1 + pltpu.roll(t1, M, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * M), 1)
-    sgn = jnp.where(lane < M, jnp.float32(1.0), jnp.float32(-1.0))
-    PI = sgn * (t2 - pltpu.roll(t2, M, 1))
-    if variant == "no_atan2":
-        aud = (PR + PI) * jnp.float32(gain)
+    if variant == "no_demod":
+        aud = Y * jnp.float32(gain)
     else:
-        aud = atan2(PI, PR) * jnp.float32(gain)
+        Aprev = jnp.concatenate([carry_prev[:, :], Y[:-1, :]], axis=0)
+        Yr64 = pltpu.roll(Y, M, 1)
+        t1 = Aprev * Y
+        t2 = Aprev * Yr64
+        PR = t1 + pltpu.roll(t1, M, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * M), 1)
+        sgn = jnp.where(lane < M, jnp.float32(1.0), jnp.float32(-1.0))
+        PI = sgn * (t2 - pltpu.roll(t2, M, 1))
+        if variant == "no_atan2":
+            aud = (PR + PI) * jnp.float32(gain)
+        else:
+            aud = atan2(PI, PR) * jnp.float32(gain)
     if variant == "no_audio":
         aud_ref[:, :] = aud.reshape(T // AUDIO_DECIM, AUDIO_DECIM, 2 * M)[:, 0, :]
     else:
@@ -160,7 +173,8 @@ def main():
     init = (jnp.zeros((1, 2 * M), jnp.float32),
             jnp.zeros((A - 1, 2 * M), jnp.float32))
 
-    for variant in ["full", "no_atan2", "no_dft", "no_fold", "no_audio"]:
+    for variant in ["full", "no_atan2", "no_dft", "no_fold", "no_audio",
+                    "no_demod", "dma_only"]:
         stepfn = make_step(variant, tile)
 
         @jax.jit

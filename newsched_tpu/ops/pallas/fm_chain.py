@@ -77,10 +77,30 @@ def audio_toeplitz(ataps: np.ndarray, tile: int, decim: int) -> np.ndarray:
     return H
 
 
-def _mm(a, b):
+def _mm(a, b, precision=jax.lax.Precision.HIGHEST):
+    """Matmul with selectable accuracy/speed trade.
+
+    Mosaic lowers only HIGHEST (6 bf16 MXU passes) and DEFAULT (1 pass);
+    "split3" is a manual 3-pass HIGH equivalent: split both operands into
+    bf16 hi + bf16 lo residual and drop the lo@lo term (~2^-16 relative
+    error — ~96 dB, vs ~50 dB for 1-pass bf16 and ~140 dB for HIGHEST).
+    """
+    if precision == "split3":
+        ahi = a.astype(jnp.bfloat16)
+        alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+        bhi = b.astype(jnp.bfloat16)
+        blo = (b - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(p, q):
+            return jax.lax.dot_general(
+                p, q, dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+
+        return d(ahi, bhi) + (d(ahi, blo) + d(alo, bhi))
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
         preferred_element_type=jnp.float32,
     )
 
@@ -88,7 +108,8 @@ def _mm(a, b):
 def _kernel(vp_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
             aud_ref, prev_out_ref, tail_out_ref,
             win, carry_prev, carry_tail, sem, *,
-            T: int, L: int, H8: int, M: int, A: int, gain: float):
+            T: int, L: int, H8: int, M: int, A: int, gain: float,
+            precision=jax.lax.Precision.HIGHEST):
     i = pl.program_id(0)
     n = pl.num_programs(0)
     # Double-buffered window DMA: tile i+1's copy is in flight while tile i
@@ -119,7 +140,7 @@ def _kernel(vp_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
     for s in range(1, L):
         acc = acc + c_ref[s][None, :] * cur[s: s + T, :]
     # phase combine (one real matmul on the planes layout)
-    Y = _mm(acc, w_ref[:, :])                       # (T, 2M)
+    Y = _mm(acc, w_ref[:, :], precision)            # (T, 2M)
     # quadrature demod against the previous row
     Aprev = jnp.concatenate([carry_prev[:, :], Y[:-1, :]], axis=0)
     Yr64 = pltpu.roll(Y, M, 1)
@@ -132,7 +153,7 @@ def _kernel(vp_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
     aud = atan2(PI, PR) * jnp.float32(gain)          # (T, 2M) dup halves
     # audio FIR + decimation (Toeplitz matmul over [tail; aud])
     audfull = jnp.concatenate([carry_tail[:, :], aud], axis=0)  # (A-1+T, 2M)
-    aud_ref[:, :] = _mm(h_ref[:, :], audfull)        # (T//decim, 2M)
+    aud_ref[:, :] = _mm(h_ref[:, :], audfull, precision)  # (T//decim, 2M)
     # carry + final-state outputs
     carry_prev[:, :] = Y[T - 1:T, :]
     carry_tail[:, :] = aud[T - (A - 1):, :]
@@ -146,7 +167,8 @@ def _kernel(vp_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
 def fm_chain_step(vr: jax.Array, vi: jax.Array, prev0: jax.Array,
                   tail0: jax.Array, arm_c: np.ndarray, ataps: np.ndarray,
                   decim: int, gain: float, n_out: int, tile: int = 512,
-                  interpret: bool = False):
+                  interpret: bool = False,
+                  precision=jax.lax.Precision.HIGHEST):
     """Run one batch of the fused chain.
 
     Args:
@@ -187,7 +209,7 @@ def fm_chain_step(vr: jax.Array, vi: jax.Array, prev0: jax.Array,
     W2 = planes_dft_matrix(M)
     Haud = audio_toeplitz(ataps, tile, decim)
     kernel = functools.partial(_kernel, T=tile, L=L, H8=H8, M=M, A=A,
-                               gain=float(gain))
+                               gain=float(gain), precision=precision)
     grid = (n_out // tile,)
     n_aud = n_out // decim
     aud, prev, tail = pl.pallas_call(

@@ -58,7 +58,12 @@ class ShardedFMChannelizer:
                  audio_taps: np.ndarray, audio_decim: int = 8,
                  demod_gain: float = 1.0, axis: str = "t",
                  audio_method: str = "auto", pfb_method: str = "auto",
-                 pfb_combine: str = "auto", chain_method: str = "auto"):
+                 pfb_combine: str = "auto", chain_method: str = "auto",
+                 chain_precision="split3"):
+        # chain_precision: matmul accuracy for the fused mega-kernel.
+        # "split3" (manual 3-pass bf16-split, ~107 dB on the flagship,
+        # 1.3x faster than HIGHEST's 6 passes — bench/exp_precision.py)
+        # is the default; pass jax.lax.Precision.HIGHEST for ~142 dB.
         self.mesh = mesh
         self.axis = axis
         self.n_dev = mesh.shape[axis]
@@ -139,7 +144,8 @@ class ShardedFMChannelizer:
                     jnp.real(V).astype(jnp.float32),
                     jnp.imag(V).astype(jnp.float32),
                     prev_p.astype(jnp.float32), tail_p.astype(jnp.float32),
-                    c_fold, ataps, decim, float(gain), n_out)
+                    c_fold, ataps, decim, float(gain), n_out,
+                    precision=chain_precision)
                 new_prev = jax.lax.complex(prev2[0, :M], prev2[0, M:])
                 new_tails = tail2[:, :M].T
                 return aud, x[-H:], new_prev, new_tails

@@ -137,6 +137,7 @@ def _propagate_bounds(
 def compile_flowgraph(
     g: Graph, batch_size: int | None = None, total_items: int | None = None,
     mesh=None, time_axis: str | None = None,
+    tag_capacity_limit: int | None = None,
 ) -> CompiledFlowgraph:
     """batch_size: requested items/batch at the reference rate (rate-1 source).
     total_items: override stream length at the reference rate (else derived
@@ -210,7 +211,8 @@ def compile_flowgraph(
             nb = -(-(t + sink_leads[s.name]) // n_in[s.name])
             n_batches = nb if n_batches is None else max(n_batches, nb)
 
-    step = build_step(g, order, n_out, n_in, mesh=mesh, time_axis=time_axis)
+    step = build_step(g, order, n_out, n_in, mesh=mesh, time_axis=time_axis,
+                      tag_capacity_limit=tag_capacity_limit)
     return CompiledFlowgraph(
         graph=g,
         order=order,
@@ -263,7 +265,8 @@ def _merge_bounds(g, order, rates, seeded):
 
 def build_step(g: Graph, order: list[Block], n_out: dict[str, int],
                n_in: dict[str, int] | None = None, mesh=None,
-               time_axis: str | None = None):
+               time_axis: str | None = None,
+               tag_capacity_limit: int | None = None):
     """Emit the pure per-batch function. Sinks (no stream outputs) return a
     per-batch collected pytree under their name (None to collect nothing).
 
@@ -336,6 +339,11 @@ def build_step(g: Graph, order: list[Block], n_out: dict[str, int],
                 c = own
             else:  # all_to_all
                 c = sum(in_caps) + own
+            if tag_capacity_limit is not None:
+                # Bound capacity snowballing in deep multi-input graphs:
+                # batches over the limit are runtime-compacted (valid-first,
+                # truncate); drops are counted into sink "__tag_drops__".
+                c = min(c, tag_capacity_limit)
             caps[(b.name, p.name)] = c
     any_tags = any(caps.values())
 
@@ -353,6 +361,7 @@ def build_step(g: Graph, order: list[Block], n_out: dict[str, int],
         tag_vals: dict[tuple[str, str], Any] = {}  # (block, out port) -> TagBatch
         new_states = dict(states)
         sink_out: dict[str, Any] = {}
+        tag_drops = None  # int32 scalar when tag_capacity_limit is active
         for b in order:
             ins = {e.dst_port: vals[(e.src.name, e.src_port)] for e in g.in_edges(b)}
             if b.name in host_ins:
@@ -401,12 +410,20 @@ def build_step(g: Graph, order: list[Block], n_out: dict[str, int],
                     if constrain is not None:
                         v = constrain(v, n_out[b.name])
                     vals[(b.name, p.name)] = v
-                    tag_vals[(b.name, p.name)] = out_tags[p.name]
+                    t = out_tags[p.name]
+                    if (tag_capacity_limit is not None and t is not None
+                            and t.capacity > tag_capacity_limit):
+                        t, dropped = tags_mod.compact(t, tag_capacity_limit)
+                        tag_drops = (dropped if tag_drops is None
+                                     else tag_drops + dropped)
+                    tag_vals[(b.name, p.name)] = t
             else:
                 if getattr(b, "collects_tags", False) and merged_in is not None:
                     sink_out[b.name] = {"data": outs, "tags": merged_in}
                 elif outs is not None:
                     sink_out[b.name] = outs
+        if tag_drops is not None:
+            sink_out["__tag_drops__"] = tag_drops
         return new_states, sink_out
 
     return step

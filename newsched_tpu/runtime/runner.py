@@ -49,7 +49,8 @@ class Runner:
     def __init__(self, fg, batch_size: int | None = None, mesh=None,
                  total_items: int | None = None, resume_from: str | None = None,
                  checkpoint_path: str | None = None, checkpoint_every: int = 0,
-                 collect_stats: bool = False, profile_dir: str | None = None):
+                 collect_stats: bool = False, profile_dir: str | None = None,
+                 tag_capacity_limit: int | None = None):
         self.fg = fg
         self.mesh = mesh
         self.resume_from = resume_from
@@ -61,7 +62,8 @@ class Runner:
         self.profile_dir = profile_dir
         self.stats: dict = {"batches": 0, "items": 0, "batch_seconds": []}
         self.cfg = compile_flowgraph(fg, batch_size=batch_size, total_items=total_items,
-                                     mesh=mesh)
+                                     mesh=mesh,
+                                     tag_capacity_limit=tag_capacity_limit)
         self._msg_queue: collections.deque = collections.deque()
         self._dirty_params: set[str] = set()
         self._stop = threading.Event()
@@ -251,7 +253,7 @@ class Runner:
                         # this batch now rather than accumulating to the end
                         pushers[name].host_push(cplx.decode(jax.device_get(v)))
                     else:
-                        per_sink[name].append(v)
+                        per_sink.setdefault(name, []).append(v)
                 items_done += self.cfg.batch_ref
                 if self.checkpoint_path and self.checkpoint_every and \
                         (i + 1) % self.checkpoint_every == 0:
@@ -323,12 +325,24 @@ class Runner:
         # ONE device_get for all sinks: per-sink fetches each paid a full
         # tunnel round trip on the axon backend (bench fanout was 8x slower).
         host = jax.device_get(stacked)
+        drops = host.pop("__tag_drops__", None)
+        if drops is not None:
+            n = int(np.sum(np.asarray(drops)))
+            self.stats["tag_drops"] = self.stats.get("tag_drops", 0) + n
+            if n:
+                log.warning("tag_capacity_limit compaction dropped %d tags", n)
         for b in self.cfg.order:
             if b.name in host:
                 self._finalize_sink(b, _unstack_to_host(host[b.name]))
 
     def _deliver_batches(self, per_sink: dict[str, list]) -> None:
         host = jax.device_get(per_sink)
+        drops = host.pop("__tag_drops__", None)
+        if drops:
+            n = int(np.sum([np.asarray(d) for d in drops]))
+            self.stats["tag_drops"] = self.stats.get("tag_drops", 0) + n
+            if n:
+                log.warning("tag_capacity_limit compaction dropped %d tags", n)
         for b in self.cfg.order:
             if b.name in host and host[b.name]:
                 self._finalize_sink(b, _transpose(host[b.name]))

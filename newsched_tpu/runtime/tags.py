@@ -90,6 +90,31 @@ def merge(a: TagBatch, b: TagBatch) -> TagBatch:
     )
 
 
+def compact(t: TagBatch, capacity: int):
+    """Pack valid tags first (stable) and truncate to ``capacity``.
+
+    Bounds the capacity snowballing of deep multi-input graphs (every
+    all_to_all merge concatenates, so static capacities sum along paths —
+    reference executors have the same duplication semantics but dynamic
+    storage). Returns (compacted TagBatch, n_dropped int32 scalar); drops
+    only occur when more than ``capacity`` tags are simultaneously valid.
+    """
+    if t.capacity <= capacity:
+        return t, jnp.int32(0)
+    # Stable argsort on invalidity: valid entries first, original order kept.
+    idx = jnp.argsort(jnp.logical_not(t.valid), stable=True)
+    take = idx[:capacity]
+    n_valid = jnp.sum(t.valid.astype(jnp.int32))
+    dropped = jnp.maximum(n_valid - jnp.int32(capacity), 0)
+    return TagBatch(
+        offsets=t.offsets[take],
+        keys=t.keys[take],
+        values=t.values[take],
+        valid=t.valid[take],
+        pids=None if t.pids is None else t.pids[take],
+    ), dropped
+
+
 class KeyRegistry:
     """Host-side interning of tag keys (the pmtf-symbol analog)."""
 

@@ -165,3 +165,39 @@ def test_rich_tag_payloads():
     assert got["numeric"].value[0] == 1.5 and got["numeric"].payload is None
     assert got["rich"].offset == 700
     assert got["rich"].payload == meta
+
+
+def test_tag_capacity_limit_no_drops():
+    """Compaction bounds capacity snowballing; tags that fit still arrive."""
+    a = _rand_complex(512, seed=1)
+    b = _rand_complex(512, seed=2)
+    fg = Flowgraph(batch_size=128)
+    sa = general.vector_source(a, tags=[(5, "a0"), (300, "a1")])
+    sb = general.vector_source(b, tags=[(200, "b0"), (430, "b1")])
+    adder = gmath.add(2)
+    snk = general.vector_sink()
+    fg.connect(sa, 0, adder, 0)
+    fg.connect(sb, 0, adder, 1)
+    fg.connect(adder, 0, snk, 0)
+    runner = fg.run(tag_capacity_limit=2)  # merged cap would be 4
+    # At most 2 tags are valid in any one batch here, so nothing drops.
+    got = sorted((t.offset, t.key) for t in snk.tags())
+    assert got == [(5, "a0"), (200, "b0"), (300, "a1"), (430, "b1")]
+    assert runner.stats.get("tag_drops", 0) == 0
+
+
+def test_tag_capacity_limit_drops_counted():
+    a = _rand_complex(256, seed=3)
+    b = _rand_complex(256, seed=4)
+    fg = Flowgraph(batch_size=256)
+    sa = general.vector_source(a, tags=[(5, "a0"), (6, "a1")])
+    sb = general.vector_source(b, tags=[(7, "b0"), (8, "b1")])
+    adder = gmath.add(2)
+    snk = general.vector_sink()
+    fg.connect(sa, 0, adder, 0)
+    fg.connect(sb, 0, adder, 1)
+    fg.connect(adder, 0, snk, 0)
+    runner = fg.run(tag_capacity_limit=3)
+    # All 4 tags valid in the single batch; one is dropped and counted.
+    assert runner.stats.get("tag_drops", 0) == 1
+    assert len(snk.tags()) == 3
