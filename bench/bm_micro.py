@@ -6,8 +6,14 @@ active (TPU under axon, CPU otherwise).
 Usage: python bench/bm_micro.py [name ...]   (default: all)
 Prints one JSON line per benchmark: {"bench", "samples_per_sec", "batches"}.
 
-Methodology matches bench.py: one jitted lax.scan of K dependent steps,
-f32 checksum fetched to force completion (see BASELINE.md notes).
+Methodology matches bench.py: one jitted lax.scan over the bounded
+stream, sink values fetched to force completion (see BASELINE.md notes).
+Two numbers per benchmark: "samples_per_sec" is the full end-to-end run
+(compile-warm; includes ONE tunnel dispatch + sink fetch — what a user
+of the runtime actually gets here), "on_device_sps" is the marginal rate
+between a 1x and a 4x stream length (dispatch+fetch cost cancelled —
+what the compiled program itself sustains; see bench/exp_ksweep.py for
+why the tunnel's fixed ~24 ms/dispatch must be separated out).
 """
 
 from __future__ import annotations
@@ -22,31 +28,40 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _time_graph(build, n_items: int, batch: int):
+def _time_graph(build, n_items: int, batch: int, build4=None):
     """Time a compiled flowgraph's scan over its bounded stream: run once
     to compile (the scan program is memoized on the Runner), then time the
-    best of 3 steady-state reruns. On the axon tunnel the run includes the
-    sink-value fetch, which is exactly what makes the timing honest
-    (BASELINE.md methodology notes)."""
+    best of 3 steady-state reruns; the run includes the sink-value fetch,
+    which is what makes the timing honest. When ``build4`` (same graph,
+    4x stream) is given, also time it and report the marginal on-device
+    rate with the fixed dispatch+fetch cost cancelled."""
     from newsched_tpu.runtime.runner import Runner
 
-    fg = build()
-    fg.validate()
-    runner = Runner(fg, batch_size=batch)
-    n_b = runner.cfg.n_batches
-    runner.run_to_completion()  # compile + warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        runner.run_to_completion()
-        best = min(best, time.perf_counter() - t0)
-    return n_items / best, n_b
+    def best_of(b):
+        fg = b()
+        fg.validate()
+        runner = Runner(fg, batch_size=batch)
+        runner.run_to_completion()  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            runner.run_to_completion()
+            best = min(best, time.perf_counter() - t0)
+        return best, runner.cfg.n_batches
+
+    t1, n_b = best_of(build)
+    ondev = None
+    if build4 is not None:
+        t4, _ = best_of(build4)
+        if t4 > t1:
+            ondev = 3 * n_items / (t4 - t1)
+    return n_items / t1, ondev, n_b
 
 
 def bm_copy_chain(depth: int = 8, n: int = 1 << 27, batch: int = 1 << 22):
     from newsched_tpu.blocks import general
 
-    def build():
+    def mk(nn):
         from newsched_tpu import Flowgraph
 
         fg = Flowgraph(batch_size=batch)
@@ -56,31 +71,31 @@ def bm_copy_chain(depth: int = 8, n: int = 1 << 27, batch: int = 1 << 22):
             c = general.copy(dtype="rf32")
             fg.connect(prev, 0, c, 0)
             prev = c
-        hd = general.head(n, dtype="rf32")
+        hd = general.head(nn, dtype="rf32")
         fg.connect(prev, 0, hd, 0)
         snk = general.null_sink(dtype="rf32")
         fg.connect(hd, 0, snk, 0)
         return fg
 
-    return _time_graph(build, n, batch)
+    return _time_graph(lambda: mk(n), n, batch, lambda: mk(4 * n))
 
 
 def bm_fanout(width: int = 8, n: int = 1 << 26, batch: int = 1 << 22):
     from newsched_tpu.blocks import general
 
-    def build():
+    def mk(nn):
         from newsched_tpu import Flowgraph
 
         fg = Flowgraph(batch_size=batch)
         src = general.null_source(dtype="rf32")
-        hd = general.head(n, dtype="rf32")
+        hd = general.head(nn, dtype="rf32")
         fg.connect(src, 0, hd, 0)
         for _ in range(width):
             snk = general.null_sink(dtype="rf32")
             fg.connect(hd, 0, snk, 0)
         return fg
 
-    return _time_graph(build, n, batch)
+    return _time_graph(lambda: mk(n), n, batch, lambda: mk(4 * n))
 
 
 def bm_fir_chain(depth: int = 4, ntaps: int = 64, n: int = 1 << 25, batch: int = 1 << 21):
@@ -89,7 +104,7 @@ def bm_fir_chain(depth: int = 4, ntaps: int = 64, n: int = 1 << 25, batch: int =
 
     taps = firdes.low_pass(1.0, 1.0, 0.2, 0.1, ntaps=ntaps)
 
-    def build():
+    def mk(nn):
         from newsched_tpu import Flowgraph
 
         fg = Flowgraph(batch_size=batch)
@@ -99,32 +114,32 @@ def bm_fir_chain(depth: int = 4, ntaps: int = 64, n: int = 1 << 25, batch: int =
             f = filt.fir_filter(taps)
             fg.connect(prev, 0, f, 0)
             prev = f
-        hd = general.head(n)
+        hd = general.head(nn)
         fg.connect(prev, 0, hd, 0)
         snk = general.null_sink()
         fg.connect(hd, 0, snk, 0)
         return fg
 
-    return _time_graph(build, n, batch)
+    return _time_graph(lambda: mk(n), n, batch, lambda: mk(4 * n))
 
 
 def bm_channelizer(nchans: int = 64, n: int = 1 << 26, batch: int = 1 << 22):
     from newsched_tpu.blocks import analog, filter as filt, general
 
-    def build():
+    def mk(nn):
         from newsched_tpu import Flowgraph
 
         fg = Flowgraph(batch_size=batch)
         src = analog.noise_source("gaussian", 0.5)
         pfb = filt.pfb_channelizer(nchans, taps_per_arm=16)
-        hd = general.head(n // nchans, vlen=(nchans,))
+        hd = general.head(nn // nchans, vlen=(nchans,))
         snk = general.null_sink(vlen=(nchans,))
         fg.connect(src, 0, pfb, 0)
         fg.connect(pfb, 0, hd, 0)
         fg.connect(hd, 0, snk, 0)
         return fg
 
-    return _time_graph(build, n, batch)
+    return _time_graph(lambda: mk(n), n, batch, lambda: mk(4 * n))
 
 
 def bm_wbfm(n: int = 1 << 25, batch: int = 1 << 21):
@@ -133,12 +148,12 @@ def bm_wbfm(n: int = 1 << 25, batch: int = 1 << 21):
     from newsched_tpu.blocks import general
     from newsched_tpu.models import wbfm_receiver
 
-    def build():
+    def mk(nn):
         fg, blocks = wbfm_receiver(fs=1e6, batch_size=batch, sink="null",
-                                   n_samples=n // 20)  # audio rate = fs/20
+                                   n_samples=nn // 20)  # audio rate = fs/20
         return fg
 
-    return _time_graph(build, n, batch)
+    return _time_graph(lambda: mk(n), n, batch, lambda: mk(4 * n))
 
 
 def bm_fft_filter(ntaps: int = 1024, n: int = 1 << 25, batch: int = 1 << 21):
@@ -148,20 +163,20 @@ def bm_fft_filter(ntaps: int = 1024, n: int = 1 << 25, batch: int = 1 << 21):
 
     taps = firdes.low_pass(1.0, 1.0, 0.1, 0.02, ntaps=ntaps)
 
-    def build():
+    def mk(nn):
         from newsched_tpu import Flowgraph
 
         fg = Flowgraph(batch_size=batch)
         src = analog.noise_source("gaussian", 0.5)
         f = filt.fft_filter(taps)
-        hd = general.head(n)
+        hd = general.head(nn)
         snk = general.null_sink()
         fg.connect(src, 0, f, 0)
         fg.connect(f, 0, hd, 0)
         fg.connect(hd, 0, snk, 0)
         return fg
 
-    return _time_graph(build, n, batch)
+    return _time_graph(lambda: mk(n), n, batch, lambda: mk(4 * n))
 
 
 ALL = {
@@ -177,9 +192,11 @@ ALL = {
 def main(argv):
     names = argv or list(ALL)
     for name in names:
-        sps, nb = ALL[name]()
-        print(json.dumps({"bench": name, "samples_per_sec": round(sps), "batches": nb}),
-              flush=True)
+        sps, ondev, nb = ALL[name]()
+        rec = {"bench": name, "samples_per_sec": round(sps), "batches": nb}
+        if ondev is not None:
+            rec["on_device_sps"] = round(ondev)
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -8,9 +8,10 @@ audio FIR / 8):
   audio_conv / audio_mxu   — 64-channel 65-tap decimating FIR
   chain_<pfb>_<audio>      — full chain variants
 
-Methodology identical to bench.py: one jitted lax.scan of K dependent
-steps returning per-step f32 checksums that are fetched and checked
-(axon tunnel honesty rules — see bench.py docstring).
+Methodology identical to bench.py: jitted lax.scan of K dependent steps
+returning per-step f32 checksums that are fetched and checked, timed at
+two K values with the two-point fit removing the axon tunnel's fixed
+~24 ms per-dispatch cost (see bench.py docstring / bench/exp_ksweep.py).
 
 Usage: python bench/bm_stages.py [name ...]
 """
@@ -31,7 +32,7 @@ M = 64
 TAPS_PER_ARM = 16
 AUDIO_DECIM = 8
 AUDIO_NTAPS = 65
-K = 100
+K1, K2 = 100, 400
 
 
 def _mk_input(shape, complex_=True, seed=0):
@@ -48,28 +49,34 @@ def _mk_input(shape, complex_=True, seed=0):
 
 
 def _time_scan(step, init_carry, n_samples):
-    """step(carry) -> (carry, f32 checksum). Times K dependent steps."""
-    import jax
-    import jax.numpy as jnp
+    """step(carry) -> (carry, f32 checksum). Two-point K fit: the true
+    on-device per-step rate, with the tunnel's fixed dispatch cost
+    removed (round-1 naive total/K under-reported every stage ~2-3x)."""
+    import functools
 
-    @jax.jit
-    def run(carry):
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run(carry, k):
         def body(c, _):
             c2, s = step(c)
             return c2, s
 
-        return jax.lax.scan(body, carry, xs=None, length=K)
+        return jax.lax.scan(body, carry, xs=None, length=k)
 
-    carry, sums = run(init_carry)
+    carry, sums = run(init_carry, K1)
     jax.block_until_ready(sums)
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        carry, sums = run(carry)
-        s = jax.device_get(sums)
-        best = min(best, time.perf_counter() - t0)
-        assert np.all(np.isfinite(s)), "non-finite checksums"
-    return n_samples * K / best
+    totals = {}
+    for k in (K1, K2):
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            carry, sums = run(carry, k)
+            s = jax.device_get(sums)
+            best = min(best, time.perf_counter() - t0)
+            assert np.all(np.isfinite(s)), "non-finite checksums"
+        totals[k] = best
+    return n_samples * (K2 - K1) / (totals[K2] - totals[K1])
 
 
 def _pfb(method, combine="fft"):

@@ -143,3 +143,31 @@ def test_sharded_fft_filter_tags_preserved():
     # tag offsets remapped by 1/decim, still batch-relative
     assert out_tag_offsets[0].tolist() == [7 // decim, (B - 3) // decim]
     assert out_tag_offsets[1].tolist() == [11 // decim]
+
+
+def test_sharded_channelizer_256ch_config4():
+    """BASELINE config #4 shape: 256-channel channelizer + per-channel FM
+    demod, channels corner-turned across an 8-device mesh (the 2-host
+    slice stands in as 8 sim devices; the code path is mesh-size
+    agnostic). Exactness vs the unsharded reference chain."""
+    M, L, decim = 256, 4, 4
+    taps = firdes.prototype_channelizer_taps(M, L)
+    audio_taps = firdes.low_pass(1.0, 1.0, 0.1, 0.05, ntaps=17)
+    mesh = make_mesh(8)
+    ch = ShardedFMChannelizer(mesh, M, taps, audio_taps, audio_decim=decim,
+                              demod_gain=0.7)
+    B = max(ch.min_batch(), ch.batch_multiple())
+    x = _rand_complex(B * 2, seed=44)
+    state = ch.init_state()
+    step = jax.jit(ch.step)
+    outs = []
+    for b in range(2):
+        xb = jax.device_put(jnp.asarray(x[b * B : (b + 1) * B]),
+                            ch.input_sharding())
+        audio, state = step(xb, state)
+        outs.append(np.asarray(audio))
+    got = np.concatenate(outs, axis=0)
+    ref = _reference_chain(x, M, taps, audio_taps, decim, 0.7, batches=2)
+    assert got.shape == ref.shape
+    assert got.shape[1] == 256
+    assert snr_db(ref, got) > 100

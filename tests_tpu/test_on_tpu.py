@@ -212,3 +212,42 @@ def test_fft_filter_tags_tpu():
                       x.astype(np.complex128))[::2]
     assert snr_db(ref, snk.data()) > 60
     assert [(t.offset, t.key) for t in snk.tags()] == [(5, "sync"), (10000, "pkt")]
+
+def test_megakernel_split3_precision_tpu():
+    """The split3 matmul mode (manual 3-pass bf16 hi/lo split — the
+    production default in ShardedFMChannelizer) must hold >= 95 dB vs the
+    HIGHEST-precision kernel on the same inputs, and DEFAULT must be
+    visibly worse (sanity that the mode switch actually changes passes)."""
+    from newsched_tpu.ops import pfb as pfb_ops
+    from newsched_tpu.ops.pallas.fm_chain import fm_chain_step
+
+    M, L, A, decim, gain = 64, 16, 65, 8, 0.5
+    n_out = 512
+    B = n_out * M
+    rng = np.random.default_rng(9)
+    taps = rng.standard_normal(M * L).astype(np.float32) * 0.1
+    ataps = rng.standard_normal(A).astype(np.float32) * 0.2
+    arm = pfb_ops.pfb_arm_taps(taps, M)
+    c = np.asarray(arm)[::-1, ::-1].T.copy()
+
+    x = _rand_complex(B, seed=3)
+    xr = np.concatenate([np.zeros(M * L - 1, np.float32), x.real])
+    xi = np.concatenate([np.zeros(M * L - 1, np.float32), x.imag])
+    Vr = xr[: (L - 1 + n_out) * M].reshape(L - 1 + n_out, M)
+    Vi = xi[: (L - 1 + n_out) * M].reshape(L - 1 + n_out, M)
+    prev_p = np.zeros((1, 2 * M), np.float32)
+    tail_p = np.zeros((A - 1, 2 * M), np.float32)
+
+    def run(prec):
+        @jax.jit
+        def f(Vr, Vi, prev_p, tail_p):
+            return fm_chain_step(Vr, Vi, prev_p, tail_p, c, ataps, decim,
+                                 gain, n_out, precision=prec)
+        aud, _, _ = jax.device_get(f(Vr, Vi, prev_p, tail_p))
+        return aud
+
+    ref = run(jax.lax.Precision.HIGHEST)
+    got3 = run("split3")
+    got1 = run(jax.lax.Precision.DEFAULT)
+    assert snr_db(ref, got3) > 95
+    assert snr_db(ref, got3) > snr_db(ref, got1) + 20
