@@ -141,3 +141,77 @@ class quadrature_demod(Block):
     def work(self, state, ins, params, nout):
         st, y = analog_ops.quadrature_demod(state, ins["in"], params["gain"])
         return st, {"out": y}
+
+
+def _emphasis_taps(fs: float, tau: float, fh: float | None, deemph: bool):
+    """Single-pole emphasis-network taps via the bilinear transform.
+
+    Standard FM broadcast emphasis design (GR-lineage fm_deemph/fm_preemph
+    python hier blocks): corner at 1/tau rad/s, prewarped; the pre-emphasis
+    network adds an upper corner fh (default 0.925 * fs/2) so gain stops
+    rising near Nyquist. Returns (ff_taps, fb_taps) for ops/iir.lfilter.
+    """
+    import math
+
+    w_cl = 1.0 / tau
+    w_cla = 2.0 * fs * math.tan(w_cl / (2.0 * fs))
+    if deemph:
+        k = -w_cla / (2.0 * fs)
+        p1 = (1.0 + k) / (1.0 - k)
+        b0 = -k / (1.0 - k)
+        return np.array([b0, b0], np.float64), np.array([1.0, -p1], np.float64)
+    if fh is None or fh <= 0.0:
+        fh = 0.925 * fs / 2.0
+    w_ch = 2.0 * math.pi * fh
+    w_cha = 2.0 * fs * math.tan(w_ch / (2.0 * fs))
+    kl = -w_cla / (2.0 * fs)
+    kh = -w_cha / (2.0 * fs)
+    z1 = (1.0 + kl) / (1.0 - kl)
+    p1 = (1.0 + kh) / (1.0 - kh)
+    b0 = (1.0 - kl) / (1.0 - kh)
+    return np.array([b0, -z1 * b0], np.float64), np.array([1.0, -p1], np.float64)
+
+
+class fm_deemph(Block):
+    """FM broadcast de-emphasis (GR-lineage analog fm_deemph hier block):
+    single-pole IIR low-pass, corner 1/tau (tau = 75 us US / 50 us EU),
+    run through the companion-matrix IIR scan (ops/iir.py)."""
+
+    def __init__(self, fs: float, tau: float = 75e-6, name=None):
+        super().__init__(name)
+        self.add_input("in", "rf32")
+        self.add_output("out", "rf32")
+        from newsched_tpu.ops import iir as iir_ops
+
+        b, a = _emphasis_taps(fs, tau, None, deemph=True)
+        self.ff, self.fb = iir_ops.lfilter_taps(b, a)
+
+    def init_state(self, nin, nout):
+        from newsched_tpu.ops import iir as iir_ops
+
+        return iir_ops.iir_init_state(len(self.ff), len(self.fb),
+                                      dtype=jnp.float32)
+
+    def work(self, state, ins, params, nout):
+        from newsched_tpu.ops import iir as iir_ops
+
+        st, y = iir_ops.iir_filter(self.ff, self.fb, state, ins["in"])
+        return st, {"out": y}
+
+
+class fm_preemph(Block):
+    """FM broadcast pre-emphasis (GR-lineage analog fm_preemph): one zero
+    at the 1/tau corner, one pole at fh (default 0.925 * Nyquist)."""
+
+    def __init__(self, fs: float, tau: float = 75e-6, fh: float = -1.0,
+                 name=None):
+        super().__init__(name)
+        self.add_input("in", "rf32")
+        self.add_output("out", "rf32")
+        from newsched_tpu.ops import iir as iir_ops
+
+        b, a = _emphasis_taps(fs, tau, fh if fh > 0 else None, deemph=False)
+        self.ff, self.fb = iir_ops.lfilter_taps(b, a)
+
+    init_state = fm_deemph.init_state
+    work = fm_deemph.work

@@ -41,11 +41,14 @@ def fir_chain(n_samples: int = 10_000_000, fs: float = 1e6, ntaps: int = 128,
 def wbfm_receiver(fs: float = 1_000_000.0, center_freq: float = 200_000.0,
                   quad_rate_decim: int = 4, audio_decim: tuple[int, int] = (1, 5),
                   deviation: float = 75_000.0, n_samples: int | None = None,
-                  source=None, batch_size: int | None = None, sink: str = "vector"):
+                  source=None, batch_size: int | None = None, sink: str = "vector",
+                  deemph_tau: float | None = None):
     """Config #1: wideband FM receiver.
 
     freq_xlating_fir (channel select + decimate to quad rate) ->
-    quadrature_demod -> rational_resampler (audio rate).
+    quadrature_demod -> rational_resampler (audio rate)
+    [-> fm_deemph when deemph_tau is given, e.g. 75e-6 — the GR wfm_rcv
+    shape; off by default so the benchmark chain matches config #1].
     Default rates: 1 MS/s -> 250 kS/s quad -> 50 kS/s audio.
     """
     quad_rate = fs / quad_rate_decim
@@ -61,14 +64,22 @@ def wbfm_receiver(fs: float = 1_000_000.0, center_freq: float = 200_000.0,
     fg.connect(source, 0, xlate, 0)
     fg.connect(xlate, 0, demod, 0)
     fg.connect(demod, 0, resamp, 0)
+    tail = resamp
+    deemph = None
+    if deemph_tau is not None:
+        audio_rate = quad_rate * interp / decim
+        deemph = analog.fm_deemph(audio_rate, tau=deemph_tau)
+        fg.connect(resamp, 0, deemph, 0)
+        tail = deemph
     if n_samples is not None:
         hd = general.head(n_samples, dtype="rf32")
-        fg.connect(resamp, 0, hd, 0)
+        fg.connect(tail, 0, hd, 0)
         fg.connect(hd, 0, snk, 0)
     else:
-        fg.connect(resamp, 0, snk, 0)
+        fg.connect(tail, 0, snk, 0)
     return fg, {
-        "source": source, "xlate": xlate, "demod": demod, "resamp": resamp, "sink": snk,
+        "source": source, "xlate": xlate, "demod": demod, "resamp": resamp,
+        "deemph": deemph, "sink": snk,
     }
 
 

@@ -142,3 +142,27 @@ def test_rotator_exact():
     n = np.arange(2048)
     ref = x * np.exp(-2j * np.pi * (float(dp) / 2**32) * n)
     assert snr_db(ref, y) > 90
+
+
+def test_fm_emphasis_blocks_vs_scipy():
+    """fm_deemph / fm_preemph (GR-lineage emphasis networks) match
+    scipy.lfilter with the same bilinear-transform taps."""
+    import scipy.signal as sig
+
+    from newsched_tpu import Flowgraph
+    from newsched_tpu.blocks import analog, general
+    from newsched_tpu.blocks.analog import _emphasis_taps
+
+    fs = 48000.0
+    x = np.random.default_rng(5).standard_normal(4096).astype(np.float32)
+    for deemph in (True, False):
+        b, a = _emphasis_taps(fs, 75e-6, None, deemph)
+        ref = sig.lfilter(b, a, x.astype(np.float64))
+        fg = Flowgraph(batch_size=1024)
+        src = general.vector_source(x, dtype="rf32")
+        blk = analog.fm_deemph(fs) if deemph else analog.fm_preemph(fs)
+        snk = general.vector_sink(dtype="rf32")
+        fg.connect(src, 0, blk, 0)
+        fg.connect(blk, 0, snk, 0)
+        fg.run()
+        assert snr_db(ref, snk.data()) > 100
