@@ -48,30 +48,36 @@ def _mk_input(shape, complex_=True, seed=0):
     return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 0.5)
 
 
-def _time_scan(step, init_carry, n_samples):
-    """step(carry) -> (carry, f32 checksum). Two-point K fit: the true
-    on-device per-step rate, with the tunnel's fixed dispatch cost
-    removed (round-1 naive total/K under-reported every stage ~2-3x)."""
+def _time_scan(step, init_carry, n_samples, *consts):
+    """step(carry, *consts) -> (carry, f32 checksum). Two-point K fit: the
+    true on-device per-step rate, with the tunnel's fixed dispatch cost
+    removed (round-1 naive total/K under-reported every stage ~2-3x).
+
+    Scan-invariant arrays MUST be passed via ``consts``, not closed over:
+    a closed-over device array becomes a jaxpr constant, and jax fetches
+    it D2H at LOWERING time to embed it in the MLIR module — a pull the
+    axon tunnel can hang on indefinitely (observed: chain benches froze
+    in _array_mlir_constant_handler)."""
     import functools
 
     import jax
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def run(carry, k):
+    def run(carry, k, *cs):
         def body(c, _):
-            c2, s = step(c)
+            c2, s = step(c, *cs)
             return c2, s
 
         return jax.lax.scan(body, carry, xs=None, length=k)
 
-    carry, sums = run(init_carry, K1)
+    carry, sums = run(init_carry, K1, *consts)
     jax.block_until_ready(sums)
     totals = {}
     for k in (K1, K2):
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            carry, sums = run(carry, k)
+            carry, sums = run(carry, k, *consts)
             s = jax.device_get(sums)
             best = min(best, time.perf_counter() - t0)
             assert np.all(np.isfinite(s)), "non-finite checksums"
@@ -90,7 +96,7 @@ def _pfb(method, combine="fft"):
     H = arm.size - 1
     xp = _mk_input((B,))
 
-    def step(carry):
+    def step(carry, xp):
         st = pfb_ops.PfbState(tail=cplx.decode(carry))
         st2, Y = pfb_ops.pfb_channelize(arm, st, cplx.decode(xp), method=method,
                                         combine=combine)
@@ -101,7 +107,7 @@ def _pfb(method, combine="fft"):
     # encoded zero state built INSIDE a program (eager complex ops are
     # unsupported on the axon backend)
     init = jax.jit(lambda: cplx.encode(jnp.zeros((H,), jnp.complex64)))()
-    return _time_scan(step, init, B)
+    return _time_scan(step, init, B, xp)
 
 
 def bm_pfb_sum():
@@ -132,7 +138,7 @@ def bm_demod():
     T = B // M
     Yp = _mk_input((T, M))
 
-    def step(carry):
+    def step(carry, Yp):
         Y = cplx.decode(Yp)
         prev = cplx.decode(carry)
         xprev = jnp.concatenate([prev[None, :], Y[:-1]], axis=0)
@@ -143,7 +149,7 @@ def bm_demod():
     import jax
 
     init = jax.jit(lambda: cplx.encode(jnp.zeros((M,), jnp.complex64)))()
-    return _time_scan(step, init, B)
+    return _time_scan(step, init, B, Yp)
 
 
 def _audio(method):
@@ -157,7 +163,7 @@ def _audio(method):
                             ntaps=AUDIO_NTAPS).astype(np.float32)
     aud = _mk_input((M, T), complex_=False)
 
-    def step(tails):
+    def step(tails, aud):
         def one(tail, ch):
             st, y = fir_ops.fir_filter(ataps, fir_ops.FirState(tail=tail), ch,
                                        decim=AUDIO_DECIM, method=method)
@@ -167,7 +173,7 @@ def _audio(method):
         return new_tails, jnp.sum(ys)
 
     init = jnp.zeros((M, AUDIO_NTAPS - 1), jnp.float32)
-    return _time_scan(step, init, B)
+    return _time_scan(step, init, B, aud)
 
 
 def bm_audio_conv():
@@ -192,13 +198,13 @@ def _chain(pfb_method, audio_method, pfb_combine="fft",
                               pfb_combine=pfb_combine, chain_method=chain_method)
     xp = _mk_input((B,))
 
-    def step(state):
+    def step(state, xp):
         import jax.numpy as jnp
 
         audio, st2 = ch.step_enc(xp, state)
         return st2, jnp.sum(jnp.abs(audio))
 
-    return _time_scan(step, ch.init_state_enc(), B)
+    return _time_scan(step, ch.init_state_enc(), B, xp)
 
 
 def bm_chain_sum_conv():
@@ -250,7 +256,7 @@ def bm_mega_kernel_only():
     vr = jnp.asarray(rng.standard_normal((n_out + L, M)).astype(np.float32))
     vi = jnp.asarray(rng.standard_normal((n_out + L, M)).astype(np.float32))
 
-    def step(carry):
+    def step(carry, vr, vi):
         prev, tail = carry
         aud, prev2, tail2 = fm_chain_step(vr, vi, prev, tail, c, ataps,
                                           AUDIO_DECIM, 0.5, n_out)
@@ -258,7 +264,7 @@ def bm_mega_kernel_only():
 
     init = (jnp.zeros((1, 2 * M), jnp.float32),
             jnp.zeros((A - 1, 2 * M), jnp.float32))
-    return _time_scan(step, init, B)
+    return _time_scan(step, init, B, vr, vi)
 
 
 ALL = {
