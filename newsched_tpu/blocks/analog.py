@@ -160,7 +160,9 @@ def _emphasis_taps(fs: float, tau: float, fh: float | None, deemph: bool):
         p1 = (1.0 + k) / (1.0 - k)
         b0 = -k / (1.0 - k)
         return np.array([b0, b0], np.float64), np.array([1.0, -p1], np.float64)
-    if fh is None or fh <= 0.0:
+    # Clamp like the GR reference: fh at/above Nyquist puts the pole on or
+    # beyond the unit circle (tan singular/negative) -> silent instability.
+    if fh is None or fh <= 0.0 or fh >= fs / 2.0:
         fh = 0.925 * fs / 2.0
     w_ch = 2.0 * math.pi * fh
     w_cha = 2.0 * fs * math.tan(w_ch / (2.0 * fs))

@@ -166,8 +166,14 @@ class vector_source(Block):
         data, pos = state["data"], state["pos"]
         n = data.shape[0]
         if self.repeat:
-            idx = (pos + jnp.arange(nout, dtype=jnp.int32)) % jnp.int32(len(self.data))
-            out = jnp.take(data, idx, axis=0)
+            if len(self.data) % nout == 0:
+                # Batch divides the buffer: pos only ever lands on batch
+                # boundaries, so a plain dynamic slice replaces the modular
+                # gather (a full-batch gather costs ~3x a contiguous read).
+                out = jax.lax.dynamic_slice_in_dim(data, pos, nout, 0)
+            else:
+                idx = (pos + jnp.arange(nout, dtype=jnp.int32)) % jnp.int32(len(self.data))
+                out = jnp.take(data, idx, axis=0)
             new_pos = (pos + nout) % jnp.int32(len(self.data))
         else:
             out = jax.lax.dynamic_slice_in_dim(data, pos, nout, 0)

@@ -101,8 +101,13 @@ def compact(t: TagBatch, capacity: int):
     """
     if t.capacity <= capacity:
         return t, jnp.int32(0)
-    # Stable argsort on invalidity: valid entries first, original order kept.
-    idx = jnp.argsort(jnp.logical_not(t.valid), stable=True)
+    # Sort by (invalid, offset): valid entries first IN STREAM ORDER, so
+    # when over capacity the earliest-offset valid tags survive
+    # deterministically regardless of which input port they merged in from
+    # (a validity-only sort kept port-major order, making survival
+    # arbitrary w.r.t. the stream).
+    key = jnp.where(t.valid, t.offsets, jnp.iinfo(jnp.int32).max)
+    idx = jnp.argsort(key, stable=True)
     take = idx[:capacity]
     n_valid = jnp.sum(t.valid.astype(jnp.int32))
     dropped = jnp.maximum(n_valid - jnp.int32(capacity), 0)
