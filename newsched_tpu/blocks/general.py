@@ -166,7 +166,11 @@ class vector_source(Block):
         data, pos = state["data"], state["pos"]
         n = data.shape[0]
         if self.repeat:
-            if len(self.data) % nout == 0:
+            if len(self.data) == nout:
+                # Whole buffer per batch: emit it as-is (zero-copy — the
+                # bench replay source depends on this).
+                out = data
+            elif len(self.data) % nout == 0:
                 # Batch divides the buffer: pos only ever lands on batch
                 # boundaries, so a plain dynamic slice replaces the modular
                 # gather (a full-batch gather costs ~3x a contiguous read).

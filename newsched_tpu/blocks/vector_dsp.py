@@ -37,7 +37,10 @@ class vector_quad_demod(Block):
         x = ins["in"]  # (n, M)
         xprev = jnp.concatenate([state["prev"][None, :], x[:-1]], axis=0)
         p = jnp.conj(xprev) * x
-        y = jnp.arctan2(jnp.imag(p), jnp.real(p)) * params["gain"]
+        # Zero-history convention: pinned to exactly 0, as in every other
+        # demod path (ops/analog.py, parallel/channelizer.py, mega-kernel).
+        y = jnp.where((xprev == 0) | (x == 0), jnp.float32(0),
+                      jnp.arctan2(jnp.imag(p), jnp.real(p))) * params["gain"]
         return {"prev": x[-1]}, {"out": y.astype(jnp.float32)}
 
 
@@ -156,3 +159,108 @@ class fm_channelizer_fused(Block):
         new_state = {"tail": xfull[-(self.arm.size - 1):], "prev": prev,
                      "atail": atail}
         return new_state, {"out": aud}
+
+
+class cplx_to_planes(Block):
+    """Adapter: cf32 scalar stream -> the planes-rows stream format of the
+    fused FM chain (ops/pallas/fm_chain.py): rf32[(2M,)] rows, row k =
+    [re | im] of x[kM-(M-1) .. kM]. Carries the M-1-sample skew between
+    batches. Native planes sources (noise_planes_source, or
+    vector_source over parallel.channelizer.planes_rows data) skip this
+    block — and its lane-concat — entirely."""
+
+    def __init__(self, nchans: int, name=None):
+        super().__init__(name)
+        self.nchans = int(nchans)
+        self.relative_rate = Fraction(1, self.nchans)
+        self.add_input("in", "cf32")
+        self.add_output("out", "rf32", item_shape=(2 * self.nchans,))
+
+    def init_state(self, nin, nout):
+        return {"skew": jnp.zeros((self.nchans - 1,), jnp.complex64)}
+
+    def work(self, state, ins, params, nout):
+        M = self.nchans
+        x = ins["in"]
+        full = jnp.concatenate([state["skew"], x])
+        rows = full[: nout * M].reshape(nout, M)
+        planes = jnp.concatenate(
+            [jnp.real(rows), jnp.imag(rows)], axis=1).astype(jnp.float32)
+        return {"skew": full[nout * M:]}, {"out": planes}
+
+
+class noise_planes_source(Block):
+    """Gaussian noise emitted directly in planes-rows format — the
+    no-prep-pass producer for the fused FM chain (each lane is an i.i.d.
+    draw, so the M-1-sample skew of the row convention is immaterial)."""
+
+    def __init__(self, nchans: int, amplitude: float = 1.0, seed: int = 0,
+                 name=None):
+        super().__init__(name)
+        self.nchans = int(nchans)
+        self.seed = int(seed)
+        self.add_output("out", "rf32", item_shape=(2 * self.nchans,))
+        self.declare_param("amplitude", amplitude, dtype=np.float32)
+
+    def init_state(self, nin, nout):
+        return {"key": jax.random.PRNGKey(self.seed)}
+
+    def work(self, state, ins, params, nout):
+        key, sub = jax.random.split(state["key"])
+        r = jax.random.normal(sub, (nout, 2 * self.nchans), dtype=jnp.float32)
+        return {"key": key}, {"out": r * params["amplitude"]}
+
+
+class fm_channelizer_fused_planes(Block):
+    """The flagship chain as ONE block on the planes-rows stream:
+    rf32[(2M,)] rows in -> rf32[(M,)] audio out at rate 1/decim, backed by
+    the no-prep-pass mega-kernel (ops/pallas/fm_chain.py
+    fm_chain_step_planes). Unlike fm_channelizer_fused (cf32 in), this
+    block pays ZERO per-batch layout conversion — the stream format is the
+    kernel's native format, so source -> this block -> sink compiles to
+    DMA + compute only (BASELINE.md residual #2 eliminated)."""
+
+    def __init__(self, nchans: int, taps, audio_taps, audio_decim: int = 8,
+                 gain: float = 1.0, taps_per_arm: int | None = None,
+                 interpret: bool = False, precision="split3", name=None):
+        super().__init__(name)
+        from newsched_tpu.ops import firdes, pfb as pfb_ops
+        from newsched_tpu.ops.pallas.fm_chain import _round8
+
+        self.nchans = int(nchans)
+        if taps is None:
+            taps = firdes.prototype_channelizer_taps(self.nchans,
+                                                     taps_per_arm or 16)
+        self.arm = pfb_ops.pfb_arm_taps(np.asarray(taps, np.float32), self.nchans)
+        self.fold_c = np.asarray(self.arm)[::-1, ::-1].T.copy()
+        self.audio_taps = np.asarray(audio_taps, np.float32)
+        self.audio_decim = int(audio_decim)
+        self.gain = float(gain)
+        self.interpret = bool(interpret)
+        self.precision = precision
+        self.h8 = _round8(self.arm.shape[1] - 1)
+        self.relative_rate = Fraction(1, self.audio_decim)
+        self.add_input("in", "rf32", item_shape=(2 * self.nchans,))
+        self.add_output("out", "rf32", item_shape=(self.nchans,))
+
+    def init_state(self, nin, nout):
+        M = self.nchans
+        A = len(self.audio_taps)
+        return {
+            "carry": jnp.zeros((self.h8, 2 * M), jnp.float32),
+            "prev": jnp.zeros((1, 2 * M), jnp.float32),
+            "atail": jnp.zeros((A - 1, 2 * M), jnp.float32),
+        }
+
+    def work(self, state, ins, params, nout):
+        from newsched_tpu.ops.pallas.fm_chain import fm_chain_step_planes
+
+        x = ins["in"]  # (n, 2M) planes rows
+        aud, prev, atail = fm_chain_step_planes(
+            x, state["carry"], state["prev"], state["atail"], self.fold_c,
+            self.audio_taps, self.audio_decim, self.gain,
+            interpret=self.interpret, precision=self.precision)
+        n = int(x.shape[0])
+        carry = (x[-self.h8:] if n >= self.h8
+                 else jnp.concatenate([state["carry"], x])[-self.h8:])
+        return {"carry": carry, "prev": prev, "atail": atail}, {"out": aud}

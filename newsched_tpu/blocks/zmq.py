@@ -66,11 +66,17 @@ class _zmq_sink_base(Block):
     # items AND tags, SURVEY.md §3.1).
     collects_tags = True
 
-    def __init__(self, address: str, sock_type: str, bind: bool, dtype, vlen, name):
+    def __init__(self, address: str, sock_type: str, bind: bool, dtype, vlen, name,
+                 send_timeout_s: float = 30.0, sndhwm: int | None = None):
         super().__init__(name)
         self.address = address
         self.sock_type = sock_type
         self.bind = bind
+        self.send_timeout_s = float(send_timeout_s)
+        # sndhwm: outgoing high-water mark in MESSAGES (batches). A small
+        # value bounds how much a dead/slow peer can silently absorb before
+        # back-pressure (and thus the send timeout) kicks in.
+        self.sndhwm = sndhwm
         self.dtype = port_dtype(dtype)
         self.vlen = tuple(vlen)
         self.add_input("in", self.dtype, self.vlen)
@@ -84,6 +90,8 @@ class _zmq_sink_base(Block):
 
         self._ctx = zmq.Context.instance()
         self._sock = self._ctx.socket(getattr(zmq, self.sock_type))
+        if self.sndhwm is not None:
+            self._sock.setsockopt(zmq.SNDHWM, int(self.sndhwm))
         if self.bind:
             self._sock.bind(self.address)
         else:
@@ -93,10 +101,14 @@ class _zmq_sink_base(Block):
 
     def _send(self, data: bytes) -> None:
         """Send with back-pressure (peer HWM) while staying responsive to a
-        local abort — a blocked plain send() could hang forever once the
-        peer partition is gone."""
+        local abort, BOUNDED by send_timeout_s — the reverse liveness edge
+        of the control plane: if the DOWNSTREAM partition dies mid-stream,
+        this raises and the local runner's wait() surfaces it, instead of
+        blocking on POLLOUT forever (reference: runtime_monitor mirrors
+        EXIT in both directions across runtime_proxy, SURVEY.md §4.5)."""
         import zmq
 
+        deadline = time.monotonic() + self.send_timeout_s
         while True:
             if self._abort:
                 raise StreamAborted(f"{self.name}: send aborted")
@@ -105,6 +117,11 @@ class _zmq_sink_base(Block):
                 return
             except zmq.Again:
                 self._sock.poll(_POLL_MS, zmq.POLLOUT)
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"{self.name}: peer at {self.address} accepted no "
+                        f"data within {self.send_timeout_s}s — downstream "
+                        "partition dead?")
 
     def request_abort(self) -> None:
         """Cross-thread: unblock a pending send and end the stream cleanly."""
@@ -129,9 +146,17 @@ class _zmq_sink_base(Block):
             try:
                 import zmq
 
-                self._sock.send(_encode_batch(
-                    np.empty((0,) + self.vlen, self.dtype.np_dtype), eof=True),
-                    flags=zmq.NOBLOCK if self._abort else 0)
+                # EOF frame is best-effort and must never hang teardown
+                # (a blocking send here deadlocked shutdown when the peer
+                # died mid-stream): one bounded POLLOUT wait, then give up.
+                eof = _encode_batch(
+                    np.empty((0,) + self.vlen, self.dtype.np_dtype), eof=True)
+                try:
+                    self._sock.send(eof, flags=zmq.NOBLOCK)
+                except zmq.Again:
+                    if not self._abort:
+                        self._sock.poll(1000, zmq.POLLOUT)
+                        self._sock.send(eof, flags=zmq.NOBLOCK)
             except Exception:
                 pass
             self._sock.close(linger=1000)
@@ -171,15 +196,21 @@ class _zmq_sink_base(Block):
 class push_sink(_zmq_sink_base):
     """PUSH socket sink (reference zmq::push_sink); pairs with pull_source."""
 
-    def __init__(self, address: str, bind: bool = True, dtype="cf32", vlen=(), name=None):
-        super().__init__(address, "PUSH", bind, dtype, vlen, name)
+    def __init__(self, address: str, bind: bool = True, dtype="cf32", vlen=(),
+                 send_timeout_s: float = 30.0, sndhwm: int | None = None,
+                 name=None):
+        super().__init__(address, "PUSH", bind, dtype, vlen, name,
+                         send_timeout_s, sndhwm)
 
 
 class pub_sink(_zmq_sink_base):
     """PUB socket sink (reference zmq::pub_sink)."""
 
-    def __init__(self, address: str, bind: bool = True, dtype="cf32", vlen=(), name=None):
-        super().__init__(address, "PUB", bind, dtype, vlen, name)
+    def __init__(self, address: str, bind: bool = True, dtype="cf32", vlen=(),
+                 send_timeout_s: float = 30.0, sndhwm: int | None = None,
+                 name=None):
+        super().__init__(address, "PUB", bind, dtype, vlen, name,
+                         send_timeout_s, sndhwm)
 
 
 class _zmq_source_base(Block):

@@ -107,21 +107,38 @@ def make_fm_demod_hier(quad_rate: float, deviation: float = 75e3,
 def fm_channelizer(nchans: int = 64, fs: float = 100e6, taps_per_arm: int = 16,
                    audio_decim: int = 8, n_samples: int | None = None,
                    source=None, batch_size: int | None = None, sink: str = "null",
-                   deviation_frac: float = 0.3):
+                   deviation_frac: float = 0.3, fused: bool = False,
+                   interpret: bool = False, precision="split3",
+                   audio_taps=None):
     """Configs #2/#4: wideband channelizer + per-channel FM demod + per-
     channel audio decimating FIR. The headline benchmark chain.
 
     Input: one wideband cf32 stream at fs. Output: (nchans,)-vector rf32
     audio stream at fs / nchans / audio_decim.
+
+    fused=True runs the whole chain as the single mega-kernel block on the
+    planes-rows stream (vector_dsp.fm_channelizer_fused_planes): a cf32
+    ``source`` gets a cplx_to_planes adapter; with no source, a
+    noise_planes_source feeds the kernel its native format directly — the
+    flagship/bench configuration (requires a TPU backend unless
+    interpret=True). A source with an (2*nchans,)-vector rf32 output port
+    is used as a planes source as-is. n_samples/batch_size semantics are
+    identical in both modes (samples at the wideband rate).
     """
     chan_rate = fs / nchans
+    if fused:
+        return _fm_channelizer_fused(nchans, chan_rate, taps_per_arm,
+                                     audio_decim, n_samples, source,
+                                     batch_size, sink, deviation_frac,
+                                     interpret, precision, audio_taps)
     fg = Flowgraph("fm_channelizer", batch_size=batch_size)
     if source is None:
         source = analog.noise_source("gaussian", amplitude=0.5)
     pfb = filt.pfb_channelizer(nchans, taps_per_arm=taps_per_arm)
     demod = vector_dsp.vector_quad_demod(nchans, gain=1.0 / (2 * np.pi * deviation_frac))
-    audio_taps = firdes.low_pass(1.0, chan_rate, 0.4 * chan_rate / audio_decim,
-                                 0.1 * chan_rate / audio_decim)
+    if audio_taps is None:
+        audio_taps = firdes.low_pass(1.0, chan_rate, 0.4 * chan_rate / audio_decim,
+                                     0.1 * chan_rate / audio_decim)
     audio = vector_dsp.vector_fir(nchans, audio_taps, decim=audio_decim, dtype="rf32")
     snk = (general.null_sink(dtype="rf32", vlen=(nchans,)) if sink == "null"
            else general.vector_sink(dtype="rf32", vlen=(nchans,)))
@@ -136,5 +153,47 @@ def fm_channelizer(nchans: int = 64, fs: float = 100e6, taps_per_arm: int = 16,
         fg.connect(audio, 0, snk, 0)
     return fg, {
         "source": source, "pfb": pfb, "demod": demod, "audio": audio, "sink": snk,
+        "audio_taps": audio_taps,
+    }
+
+
+def _fm_channelizer_fused(nchans, chan_rate, taps_per_arm, audio_decim,
+                          n_samples, source, batch_size, sink,
+                          deviation_frac, interpret, precision,
+                          audio_taps=None):
+    if audio_taps is None:
+        audio_taps = firdes.low_pass(1.0, chan_rate, 0.4 * chan_rate / audio_decim,
+                                     0.1 * chan_rate / audio_decim)
+    fused_blk = vector_dsp.fm_channelizer_fused_planes(
+        nchans, None, audio_taps, audio_decim=audio_decim,
+        gain=1.0 / (2 * np.pi * deviation_frac), taps_per_arm=taps_per_arm,
+        interpret=interpret, precision=precision)
+    adapter = None
+    if source is None:
+        source = vector_dsp.noise_planes_source(nchans, amplitude=0.5)
+    planes_native = any(
+        p.item_shape == (2 * nchans,) for p in getattr(source, "outputs", []))
+    # Planes-native source: the graph's reference item is a ROW (= nchans
+    # wideband samples), so scale the requested batch accordingly.
+    bsz = None
+    if batch_size is not None:
+        bsz = (max(batch_size // nchans, 1) if planes_native else batch_size)
+    fg = Flowgraph("fm_channelizer_fused", batch_size=bsz)
+    if planes_native:
+        fg.connect(source, 0, fused_blk, 0)
+    else:
+        adapter = vector_dsp.cplx_to_planes(nchans)
+        fg.connect(source, 0, adapter, 0)
+        fg.connect(adapter, 0, fused_blk, 0)
+    snk = (general.null_sink(dtype="rf32", vlen=(nchans,)) if sink == "null"
+           else general.vector_sink(dtype="rf32", vlen=(nchans,)))
+    if n_samples is not None:
+        hd = general.head(n_samples, dtype="rf32", vlen=(nchans,))
+        fg.connect(fused_blk, 0, hd, 0)
+        fg.connect(hd, 0, snk, 0)
+    else:
+        fg.connect(fused_blk, 0, snk, 0)
+    return fg, {
+        "source": source, "adapter": adapter, "fused": fused_blk, "sink": snk,
         "audio_taps": audio_taps,
     }

@@ -13,9 +13,8 @@ stages; this kernel's only HBM traffic is the input window read and a
 (B/M/decim, 2M) output write — an ~4x traffic reduction at M=64/decim=8.
 
 Layout: separate re/im *planes* side by side in the lane dimension
-([re(M) | im(M)] = 2M = 128 lanes for M=64) — the natural form of the
-framework's ComplexParts boundary encoding, no interleave pass needed.
-Complex arithmetic pairs lane c with lane c+M via a 64-lane roll:
+([re(M) | im(M)] = 2M = 128 lanes for M=64). Complex arithmetic pairs
+lane c with lane c+M via a 64-lane roll:
 
     fold:   per-lane real taps, duplicated per half
     DFT:    Y = acc @ [[Wr, Wi], [-Wi, Wr]]     (one real MXU matmul)
@@ -25,6 +24,25 @@ Complex arithmetic pairs lane c with lane c+M via a 64-lane roll:
             t2 = A*roll64(Y); PI = s*(t2 - roll64(t2)) (= ar*bi - ai*br)
             aud = atan2(PI, PR) * gain   (duplicated in both halves)
     audio:  y = H_aud @ [tail; aud]   (64 x (T+A-1) Toeplitz, stride=decim)
+
+Two input conventions share one kernel body:
+
+- ``fm_chain_step`` (round-1 API): caller passes the full commutator
+  matrix V re/im planes INCLUDING the L-1-row PFB halo; the wrapper pays
+  an XLA lane-concat prep pass (~35 us on the flagship — BASELINE.md
+  residual #2).
+- ``fm_chain_step_planes`` (round-3, the flagship/bench path): the STREAM
+  format IS the planes-rows matrix — (n, 2M) f32, row k =
+  [re | im] of input samples x[kM-(M-1) .. kM] ("skewed V rows", the
+  exact rows ops/pfb.py's V holds). The batch and its preceding
+  ``warm + H8`` halo rows arrive as TWO separate HBM refs; boundary
+  tiles split their window DMA across them — NO prep pass at all.
+  ``warm > 0`` additionally recomputes `warm` rows of channel output
+  before the segment from the halo (zero prev/tail state) and drops
+  their audio: that makes each device's computation independent of its
+  neighbors' *outputs*, which is what lets the sharded flagship run the
+  mega-kernel per time shard with only an input-rows ppermute
+  (parallel/channelizer.py) — outputs stay time-sharded, no corner turn.
 
 Streaming state (demod prev row, audio FIR tail) is carried across grid
 tiles in VMEM scratch and emitted as outputs for the next batch, so the
@@ -105,40 +123,102 @@ def _mm(a, b, precision=jax.lax.Precision.HIGHEST):
     )
 
 
-def _kernel(vp_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
+def _kernel(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
             aud_ref, prev_out_ref, tail_out_ref,
-            win, carry_prev, carry_tail, sem, *,
-            T: int, L: int, H8: int, M: int, A: int, gain: float,
-            precision=jax.lax.Precision.HIGHEST):
+            win, carry_prev, carry_tail, sem_l, sem_h, *,
+            T: int, L: int, H8: int, M: int, A: int, gain: float, s: int,
+            NT: int, precision=jax.lax.Precision.HIGHEST):
+    """One grid tile of the fused chain.
+
+    Window layout: the conceptual row stream is vp = [halo(s*T + H8 rows);
+    local(n_loc rows)]; tile j's window is vp rows [j*T, j*T + T + H8) —
+    the fold for in-tile output t reads window rows
+    [t + off, t + off + L) with off = H8 - (L-1), so the first ``off``
+    window rows are alignment padding (DMA row granularity is 8).
+
+    DMA cases (``s = warm // T`` is static):
+      j <  s : window entirely inside the halo ref (one copy)
+      j == s : straddle — H8 halo rows + T local rows (two copies)
+      j >  s : window entirely inside the local ref (one copy)
+    """
     i = pl.program_id(0)
     n = pl.num_programs(0)
     # Double-buffered window DMA: tile i+1's copy is in flight while tile i
-    # computes (+13% measured). One full-width (128-lane) DMA per tile:
-    # narrower HBM->VMEM copies (e.g. per 64-lane plane) crash the Mosaic
-    # compiler — measured, hence the XLA-side lane concat in the wrapper.
+    # computes (+13% measured). Full-width (128-lane) copies only: narrower
+    # HBM->VMEM transfers (e.g. per 64-lane plane) crash the Mosaic
+    # compiler — measured; the planes-rows stream format exists so the
+    # kernel never needs one.
     slot = jax.lax.rem(i, 2)
     nslot = jax.lax.rem(i + 1, 2)
 
+    def issue(j, dst_slot):
+        if s > 0:
+            @pl.when(j < s)
+            def _():
+                pltpu.make_async_copy(
+                    halo_hbm.at[pl.ds(j * T, T + H8), :], win.at[dst_slot],
+                    sem_l.at[dst_slot]).start()
+
+        @pl.when(j == s)
+        def _():
+            pltpu.make_async_copy(
+                halo_hbm.at[pl.ds(s * T, H8), :],
+                win.at[dst_slot, pl.ds(0, H8), :],
+                sem_h.at[dst_slot]).start()
+            pltpu.make_async_copy(
+                local_hbm.at[pl.ds(0, T), :],
+                win.at[dst_slot, pl.ds(H8, T), :],
+                sem_l.at[dst_slot]).start()
+
+        if NT > s + 1:
+            @pl.when(j > s)
+            def _():
+                pltpu.make_async_copy(
+                    local_hbm.at[pl.ds((j - s) * T - H8, T + H8), :],
+                    win.at[dst_slot], sem_l.at[dst_slot]).start()
+
     @pl.when(i == 0)
     def _():
-        pltpu.make_async_copy(vp_hbm.at[pl.ds(0, T + H8), :], win.at[0],
-                              sem.at[0]).start()
+        issue(i, slot)
         carry_prev[:, :] = prev0_ref[:, :]
         carry_tail[:, :] = tail0_ref[:, :]
 
     @pl.when(i + 1 < n)
     def _():
-        pltpu.make_async_copy(vp_hbm.at[pl.ds((i + 1) * T, T + H8), :],
-                              win.at[nslot], sem.at[nslot]).start()
+        issue(i + 1, nslot)
 
-    pltpu.make_async_copy(vp_hbm.at[pl.ds(i * T, T + H8), :], win.at[slot],
-                          sem.at[slot]).wait()
+# Wait descriptors must mirror the issued copies (the DMA semaphore
+    # counts the descriptor's bytes, and interpret mode replays the slice,
+    # so each branch re-states its own in-bounds source slice).
+    if s > 0:
+        @pl.when(i < s)
+        def _():
+            pltpu.make_async_copy(
+                halo_hbm.at[pl.ds(i * T, T + H8), :], win.at[slot],
+                sem_l.at[slot]).wait()
+
+    @pl.when(i == s)
+    def _():
+        pltpu.make_async_copy(
+            halo_hbm.at[pl.ds(s * T, H8), :], win.at[slot, pl.ds(0, H8), :],
+            sem_h.at[slot]).wait()
+        pltpu.make_async_copy(
+            local_hbm.at[pl.ds(0, T), :], win.at[slot, pl.ds(H8, T), :],
+            sem_l.at[slot]).wait()
+
+    if NT > s + 1:
+        @pl.when(i > s)
+        def _():
+            pltpu.make_async_copy(
+                local_hbm.at[pl.ds((i - s) * T - H8, T + H8), :],
+                win.at[slot], sem_l.at[slot]).wait()
     cur = win.at[slot]
 
-    # arm fold
-    acc = c_ref[0][None, :] * cur[0:T, :]
-    for s in range(1, L):
-        acc = acc + c_ref[s][None, :] * cur[s: s + T, :]
+    # arm fold (fold offset: window rows [off, off + T + L - 1) are live)
+    off = H8 - (L - 1)
+    acc = c_ref[0][None, :] * cur[off: off + T, :]
+    for q in range(1, L):
+        acc = acc + c_ref[q][None, :] * cur[off + q: off + q + T, :]
     # phase combine (one real matmul on the planes layout)
     Y = _mm(acc, w_ref[:, :], precision)            # (T, 2M)
     # quadrature demod against the previous row
@@ -164,12 +244,260 @@ def _kernel(vp_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
         tail_out_ref[:, :] = aud[T - (A - 1):, :]
 
 
+def _kernel_pipe(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref,
+                 h_ref, aud_ref, prev_out_ref, tail_out_ref,
+                 win, carry_prev, carry_tail, yprev, sem_l, sem_h, *,
+                 T: int, L: int, H8: int, M: int, A: int, gain: float,
+                 s: int, NT: int, precision=jax.lax.Precision.HIGHEST):
+    """Software-pipelined variant of ``_kernel``: the MXU stage of tile i
+    (fold -> DFT) runs in the same grid step as the VPU stage of tile i-1
+    (demod -> audio), with Y handed across steps in VMEM scratch — so the
+    DFT/audio matmul passes overlap the demod's elementwise chain instead
+    of serializing after it (BASELINE.md residual #3). Grid is NT+1 steps;
+    step NT only drains the last tile's VPU stage. DMA double-buffering is
+    identical to ``_kernel``.
+    """
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+    nslot = jax.lax.rem(i + 1, 2)
+
+    def issue(j, dst_slot):
+        if s > 0:
+            @pl.when(j < s)
+            def _():
+                pltpu.make_async_copy(
+                    halo_hbm.at[pl.ds(j * T, T + H8), :], win.at[dst_slot],
+                    sem_l.at[dst_slot]).start()
+
+        @pl.when(j == s)
+        def _():
+            pltpu.make_async_copy(
+                halo_hbm.at[pl.ds(s * T, H8), :],
+                win.at[dst_slot, pl.ds(0, H8), :],
+                sem_h.at[dst_slot]).start()
+            pltpu.make_async_copy(
+                local_hbm.at[pl.ds(0, T), :],
+                win.at[dst_slot, pl.ds(H8, T), :],
+                sem_l.at[dst_slot]).start()
+
+        if NT > s + 1:
+            @pl.when(j > s)
+            def _():
+                pltpu.make_async_copy(
+                    local_hbm.at[pl.ds((j - s) * T - H8, T + H8), :],
+                    win.at[dst_slot], sem_l.at[dst_slot]).start()
+
+    @pl.when(i == 0)
+    def _():
+        issue(i, slot)
+        carry_prev[:, :] = prev0_ref[:, :]
+        carry_tail[:, :] = tail0_ref[:, :]
+
+    @pl.when(i + 1 < NT)
+    def _():
+        issue(i + 1, nslot)
+
+    # ---- stage A (tiles [0, NT)): DMA wait -> fold -> DFT ----------------
+    @pl.when(i < NT)
+    def _():
+        if s > 0:
+            @pl.when(i < s)
+            def _():
+                pltpu.make_async_copy(
+                    halo_hbm.at[pl.ds(i * T, T + H8), :], win.at[slot],
+                    sem_l.at[slot]).wait()
+
+        @pl.when(i == s)
+        def _():
+            pltpu.make_async_copy(
+                halo_hbm.at[pl.ds(s * T, H8), :],
+                win.at[slot, pl.ds(0, H8), :], sem_h.at[slot]).wait()
+            pltpu.make_async_copy(
+                local_hbm.at[pl.ds(0, T), :], win.at[slot, pl.ds(H8, T), :],
+                sem_l.at[slot]).wait()
+
+        if NT > s + 1:
+            @pl.when(i > s)
+            def _():
+                pltpu.make_async_copy(
+                    local_hbm.at[pl.ds((i - s) * T - H8, T + H8), :],
+                    win.at[slot], sem_l.at[slot]).wait()
+        cur = win.at[slot]
+        off = H8 - (L - 1)
+        acc = c_ref[0][None, :] * cur[off: off + T, :]
+        for q in range(1, L):
+            acc = acc + c_ref[q][None, :] * cur[off + q: off + q + T, :]
+        Ynew = _mm(acc, w_ref[:, :], precision)      # (T, 2M), MXU
+
+        # ---- stage B (tiles [1, NT]): demod -> audio of tile i-1 --------
+        # Emitted BETWEEN the DFT issue and the yprev overwrite: the demod
+        # chain reads yprev (tile i-1's Y), so the MXU can fill Ynew while
+        # the VPU runs it.
+        @pl.when(i > 0)
+        def _():
+            _stage_b(yprev, carry_prev, carry_tail, h_ref, aud_ref,
+                     T=T, M=M, A=A, gain=gain, precision=precision)
+        yprev[:, :] = Ynew
+
+    @pl.when(i == NT)
+    def _():
+        _stage_b(yprev, carry_prev, carry_tail, h_ref, aud_ref,
+                 T=T, M=M, A=A, gain=gain, precision=precision)
+        prev_out_ref[:, :] = carry_prev[:, :]
+        tail_out_ref[:, :] = carry_tail[:, :]
+
+
+def _stage_b(yprev, carry_prev, carry_tail, h_ref, aud_ref, *,
+             T, M, A, gain, precision):
+    Y = yprev[:, :]
+    Aprev = jnp.concatenate([carry_prev[:, :], Y[:-1, :]], axis=0)
+    Yr64 = pltpu.roll(Y, M, 1)
+    t1 = Aprev * Y
+    t2 = Aprev * Yr64
+    PR = t1 + pltpu.roll(t1, M, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * M), 1)
+    sgn = jnp.where(lane < M, jnp.float32(1.0), jnp.float32(-1.0))
+    PI = sgn * (t2 - pltpu.roll(t2, M, 1))
+    aud = atan2(PI, PR) * jnp.float32(gain)
+    audfull = jnp.concatenate([carry_tail[:, :], aud], axis=0)
+    aud_ref[:, :] = _mm(h_ref[:, :], audfull, precision)
+    carry_prev[:, :] = Y[T - 1:T, :]
+    carry_tail[:, :] = aud[T - (A - 1):, :]
+
+
+def _pick_tile(n_out: int, tile: int, decim: int) -> int:
+    if n_out % tile != 0:
+        if n_out <= tile:
+            tile = n_out
+        else:
+            tile = next(t for t in range(tile, 0, -1) if n_out % t == 0)
+    if tile % decim != 0:
+        raise ValueError(f"tile {tile} not divisible by audio decim {decim}")
+    return tile
+
+
+def fm_chain_step_planes(vb: jax.Array, halo: jax.Array, prev0: jax.Array,
+                         tail0: jax.Array, arm_c: np.ndarray,
+                         ataps: np.ndarray, decim: int, gain: float,
+                         warm: int = 0, tile: int = 512,
+                         interpret: bool = False, pipelined: bool = False,
+                         precision=jax.lax.Precision.HIGHEST):
+    """Run one batch of the fused chain on the planes-rows stream format.
+
+    Args:
+      vb: (n_loc, 2M) f32 — this batch/segment's planes rows. Row k holds
+        [re | im] of input samples x[kM-(M-1) .. kM] — exactly the rows of
+        ops/pfb.py's commutator matrix V, continued across batches (the
+        first row of a zero-history stream is [0]*(M-1) + x[0]).
+      halo: (warm + H8, 2M) f32 — the rows immediately PRECEDING vb in
+        stream order (zeros at stream start); H8 = round8(L-1). Only the
+        last L-1 of the trailing H8 rows feed the fold; the first
+        H8-(L-1) are alignment padding. For streaming, next batch's halo
+        is ``concat([halo, vb])[-(warm+H8):]`` — i.e. vb's own tail.
+      prev0/tail0: (1, 2M) / (A-1, 2M) f32 carried demod/audio state.
+        With warm > 0 pass zeros — the state is recomputed from the halo.
+      warm: rows of channel output recomputed before the segment and
+        dropped (0, or a multiple of `tile` >= ceil(A/decim)*decim).
+      arm_c: (L, M) fold coefficients (ops/pfb.py `c`).
+      ataps: (A,) audio FIR taps; decim: audio decimation; gain: demod gain.
+
+    Returns (audio (n_loc//decim, M) f32, prev (1, 2M), tail (A-1, 2M)) —
+    with warm > 0 the returned prev/tail are the true end-of-segment state
+    (recomputed), same as warm == 0.
+    """
+    L, M = int(arm_c.shape[0]), int(arm_c.shape[1])
+    A = int(np.asarray(ataps).shape[0])
+    n_loc = int(vb.shape[0])
+    H8 = _round8(L - 1)
+    warm = int(warm)
+    tile = _pick_tile(n_loc, tile, decim)
+    if warm:
+        if warm % tile != 0:
+            raise ValueError(f"warm {warm} must be a multiple of tile {tile}")
+        need_warm = -(-A // decim) * decim
+        if warm < need_warm:
+            raise ValueError(
+                f"warm {warm} too small: need >= ceil(A/decim)*decim = "
+                f"{need_warm} recomputed rows to rebuild demod+audio state")
+    if not interpret and (2 * M) % 128 != 0:
+        raise ValueError(f"planes width {2*M} must be a multiple of 128")
+    if A - 1 > tile:
+        raise ValueError(f"audio tail {A-1} exceeds tile {tile}")
+    if tile < H8:
+        raise ValueError(
+            f"tile {tile} < H8 {H8}: the boundary-tile DMA split assumes at "
+            f"most one straddling window (batch rows must be >= {H8})")
+    if int(halo.shape[0]) != warm + H8:
+        raise ValueError(f"halo rows {halo.shape[0]} != warm+H8 = {warm + H8}")
+    n_ext = n_loc + warm
+    c2 = planes_taps(arm_c)
+    W2 = planes_dft_matrix(M)
+    Haud = audio_toeplitz(ataps, tile, decim)
+    NT = n_ext // tile
+    scratch = [
+        pltpu.VMEM((2, tile + H8, 2 * M), jnp.float32),  # 2x DMA window
+        pltpu.VMEM((1, 2 * M), jnp.float32),           # demod prev carry
+        pltpu.VMEM((A - 1, 2 * M), jnp.float32),       # audio tail carry
+    ]
+    if pipelined:
+        kernel = functools.partial(_kernel_pipe, T=tile, L=L, H8=H8, M=M,
+                                   A=A, gain=float(gain), s=warm // tile,
+                                   NT=NT, precision=precision)
+        grid = (NT + 1,)
+        scratch.append(pltpu.VMEM((tile, 2 * M), jnp.float32))  # Y handoff
+        # Grid step i writes tile i-1's audio block (step 0 writes block 0
+        # too, but skips the store; step 1 then writes it for real).
+        aud_map = lambda i: (jax.lax.max(i - 1, 0), 0)  # noqa: E731
+    else:
+        kernel = functools.partial(_kernel, T=tile, L=L, H8=H8, M=M, A=A,
+                                   gain=float(gain), s=warm // tile,
+                                   NT=NT, precision=precision)
+        grid = (NT,)
+        aud_map = lambda i: (i, 0)  # noqa: E731
+    scratch += [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
+    n_aud = n_ext // decim
+    aud, prev, tail = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # local planes (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),       # halo planes (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # prev0
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tail0
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # fold taps
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # DFT matrix
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # audio Toeplitz
+        ],
+        out_specs=(
+            pl.BlockSpec((tile // decim, 2 * M), aud_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * M), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((A - 1, 2 * M), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_aud, 2 * M), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * M), jnp.float32),
+            jax.ShapeDtypeStruct((A - 1, 2 * M), jnp.float32),
+        ),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_ext * 2 * M * (L + 2 * M) + 2 * n_aud * 2 * M * (A - 1 + tile),
+            bytes_accessed=(n_ext + warm + H8) * 2 * M * 4 + n_aud * 2 * M * 4,
+            transcendentals=n_ext * 2 * M,  # atan2 polynomial
+        ),
+        interpret=interpret,
+    )(vb, halo, prev0, tail0, jnp.asarray(c2), jnp.asarray(W2),
+      jnp.asarray(Haud))
+    return aud[warm // decim:, :M], prev, tail
+
+
 def fm_chain_step(vr: jax.Array, vi: jax.Array, prev0: jax.Array,
                   tail0: jax.Array, arm_c: np.ndarray, ataps: np.ndarray,
                   decim: int, gain: float, n_out: int, tile: int = 512,
                   interpret: bool = False,
                   precision=jax.lax.Precision.HIGHEST):
-    """Run one batch of the fused chain.
+    """Round-1 API: run one batch from separate re/im V planes.
 
     Args:
       vr/vi: (>= n_out + L - 1, M) f32 re/im planes of the commutator
@@ -182,70 +510,20 @@ def fm_chain_step(vr: jax.Array, vi: jax.Array, prev0: jax.Array,
       n_out: channel-rate samples this batch (B // M).
 
     Returns (audio (n_out//decim, M) f32, prev (1, 2M), tail (A-1, 2M)).
+
+    This wrapper pays an XLA lane-concat prep pass to build the planes
+    stream; the planes-native path (``fm_chain_step_planes``) avoids it.
     """
     L, M = int(arm_c.shape[0]), int(arm_c.shape[1])
-    A = int(np.asarray(ataps).shape[0])
-    if n_out % tile != 0:
-        if n_out <= tile:
-            tile = n_out
-        else:
-            tile = next(t for t in range(tile, 0, -1) if n_out % t == 0)
-    if tile % decim != 0:
-        raise ValueError(f"tile {tile} not divisible by audio decim {decim}")
-    if not interpret and (2 * M) % 128 != 0:
-        raise ValueError(f"planes width {2*M} must be a multiple of 128")
-    if A - 1 > tile:
-        raise ValueError(f"audio tail {A-1} exceeds tile {tile}")
+    need = L - 1 + n_out
     H8 = _round8(L - 1)
-    need_pad = n_out + H8
 
-    def pad(v):
-        if int(v.shape[0]) < need_pad:
-            return jnp.pad(v, ((0, need_pad - int(v.shape[0])), (0, 0)))
-        return v[:need_pad]
+    def cut(v):
+        return v[:need]
 
-    vp = jnp.concatenate([pad(vr), pad(vi)], axis=1)  # (need_pad, 2M) planes
-    c2 = planes_taps(arm_c)
-    W2 = planes_dft_matrix(M)
-    Haud = audio_toeplitz(ataps, tile, decim)
-    kernel = functools.partial(_kernel, T=tile, L=L, H8=H8, M=M, A=A,
-                               gain=float(gain), precision=precision)
-    grid = (n_out // tile,)
-    n_aud = n_out // decim
-    aud, prev, tail = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),       # vp planes (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # prev0
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tail0
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # fold taps
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # DFT matrix
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # audio Toeplitz
-        ],
-        out_specs=(
-            pl.BlockSpec((tile // decim, 2 * M), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * M), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((A - 1, 2 * M), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_aud, 2 * M), jnp.float32),
-            jax.ShapeDtypeStruct((1, 2 * M), jnp.float32),
-            jax.ShapeDtypeStruct((A - 1, 2 * M), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, tile + H8, 2 * M), jnp.float32),  # 2x DMA window
-            pltpu.VMEM((1, 2 * M), jnp.float32),           # demod prev carry
-            pltpu.VMEM((A - 1, 2 * M), jnp.float32),       # audio tail carry
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_out * 2 * M * (L + 2 * M) + 2 * n_aud * 2 * M * (A - 1 + tile),
-            bytes_accessed=2 * need_pad * M * 4 + n_aud * 2 * M * 4,
-            transcendentals=n_out * 2 * M,  # atan2 polynomial
-        ),
-        interpret=interpret,
-    )(vp, prev0, tail0, jnp.asarray(c2), jnp.asarray(W2), jnp.asarray(Haud))
-    return aud[:, :M], prev, tail
+    vp = jnp.concatenate([cut(vr), cut(vi)], axis=1)  # (need, 2M) planes
+    halo = jnp.concatenate(
+        [jnp.zeros((H8 - (L - 1), 2 * M), jnp.float32), vp[: L - 1]], axis=0)
+    return fm_chain_step_planes(vp[L - 1:], halo, prev0, tail0, arm_c, ataps,
+                                decim, gain, warm=0, tile=tile,
+                                interpret=interpret, precision=precision)

@@ -46,6 +46,37 @@ class ShardedFMState(NamedTuple):
     audio_tail: jax.Array   # (M, A-1) channel-sharded audio FIR tails
 
 
+class PlanesFMState(NamedTuple):
+    """State of the planes-rows mega-kernel path (``step_planes``).
+
+    n_dev == 1: carry = (H8, 2M) trailing stream rows, prev/tail the
+    kernel's demod/audio state. n_dev > 1: carry = (n_dev*(warm+H8), 2M)
+    time-sharded trailing rows (each device keeps its own tail; only
+    device n-1's matters, spliced to device 0 next batch by the halo
+    exchange); prev/tail are zero-size placeholders — the sharded kernel
+    recomputes warm-up state from the halo instead of carrying it.
+    """
+
+    carry: jax.Array
+    prev: jax.Array
+    tail: jax.Array
+
+
+def planes_rows(x: np.ndarray, nchans: int,
+                skew_carry: np.ndarray | None = None) -> np.ndarray:
+    """Host helper: complex samples -> the (n, 2M) f32 planes-rows stream
+    format of the fused mega-kernel (ops/pallas/fm_chain.py): row k =
+    [re | im] of x[kM-(M-1) .. kM]. ``skew_carry`` is the previous batch's
+    last M-1 samples (zeros at stream start)."""
+    M = int(nchans)
+    x = np.asarray(x)
+    if skew_carry is None:
+        skew_carry = np.zeros(M - 1, x.dtype)
+    full = np.concatenate([skew_carry, x])[: (len(x) // M) * M]
+    rows = full.reshape(-1, M)
+    return np.concatenate([rows.real, rows.imag], axis=1).astype(np.float32)
+
+
 class ShardedFMChannelizer:
     """Builds the jitted sharded streaming step.
 
@@ -59,7 +90,7 @@ class ShardedFMChannelizer:
                  demod_gain: float = 1.0, axis: str = "t",
                  audio_method: str = "auto", pfb_method: str = "auto",
                  pfb_combine: str = "auto", chain_method: str = "auto",
-                 chain_precision="split3"):
+                 chain_precision="split3", interpret: bool = False):
         # chain_precision: matmul accuracy for the fused mega-kernel.
         # "split3" (manual 3-pass bf16-split, ~107 dB on the flagship,
         # 1.3x faster than HIGHEST's 6 passes — bench/exp_precision.py)
@@ -75,6 +106,11 @@ class ShardedFMChannelizer:
         self.audio_taps = np.asarray(audio_taps, np.float32)
         self.audio_decim = int(audio_decim)
         self.demod_gain = float(demod_gain)
+        self.chain_precision = chain_precision
+        # interpret=True runs the Pallas kernels in interpreter mode
+        # (CPU tests of the mega-kernel paths; relaxes the lane-width
+        # and backend constraints).
+        self.interpret = bool(interpret)
         M, L = self.arm_taps.shape
         # Taps stay host-side numpy: kernels embed them as constants at trace
         # time (device jnp constants would need D2H pulls in fir_filter's
@@ -115,18 +151,38 @@ class ShardedFMChannelizer:
             return ys.T, new_carry, new_prev, new_tails
 
         A = len(self.audio_taps)
+        self.c_fold = arm[::-1, ::-1].T.copy()  # (L, M), ops/pfb.py layout
+        self._mega_ok = ((pfb_ops._pallas_ok(M) or self.interpret)
+                         and 512 % decim == 0 and A - 1 <= 512)
         if chain_method == "auto":
-            # The fused full-chain kernel (ops/pallas/fm_chain.py) fuses
-            # demod into the per-device pass BEFORE the corner turn, so it
-            # only applies single-device; multi-device keeps the staged
-            # corner-turn layout. Constraints mirror the kernel's.
-            chain_method = ("megakernel"
-                            if (self.n_dev == 1 and pfb_ops._pallas_ok(M)
-                                and 512 % decim == 0 and A - 1 <= 512)
+            # The fused full-chain kernel's native interface is the
+            # planes-rows stream (step_planes, available for any n_dev);
+            # the complex-sample step() keeps the staged corner-turn
+            # layout for n_dev > 1, so auto only picks the mega-kernel
+            # single-device. Constraints mirror the kernel's.
+            chain_method = ("megakernel" if (self.n_dev == 1 and self._mega_ok)
                             else "stages")
         self.chain_method = chain_method
+        self._planes_cfg: tuple[int, int, int] | None = None  # (n_rows, tile, warm)
 
-        if self.n_dev == 1 and chain_method == "megakernel":
+        if self.n_dev > 1 and chain_method == "megakernel":
+            if not self._mega_ok:
+                raise ValueError(
+                    "mega-kernel constraints not met (2*nchans % 128, "
+                    "512 % decim, audio taps <= 513)")
+            # Sharded mega-kernel runs through the planes-rows API only —
+            # the planes stream IS the fused path's native format; the
+            # complex-sample step() would need a cross-shard skew reshape
+            # that defeats the no-prep design.
+            def _no_complex_step(*a):
+                raise NotImplementedError(
+                    "chain_method='megakernel' with n_dev > 1: use "
+                    "step_planes(xrows, state)/init_state_planes(n_rows) — "
+                    "the planes-rows stream is the fused kernel's native "
+                    "format (see planes_rows())")
+
+            self._spmd_step = _no_complex_step
+        elif self.n_dev == 1 and chain_method == "megakernel":
             from newsched_tpu.ops.pallas.fm_chain import fm_chain_step
 
             H = self.ntaps - 1
@@ -145,7 +201,7 @@ class ShardedFMChannelizer:
                     jnp.imag(V).astype(jnp.float32),
                     prev_p.astype(jnp.float32), tail_p.astype(jnp.float32),
                     c_fold, ataps, decim, float(gain), n_out,
-                    precision=chain_precision)
+                    interpret=self.interpret, precision=chain_precision)
                 new_prev = jax.lax.complex(prev2[0, :M], prev2[0, M:])
                 new_tails = tail2[:, :M].T
                 return aud, x[-H:], new_prev, new_tails
@@ -214,6 +270,137 @@ class ShardedFMChannelizer:
             x, state.pfb_carry, state.demod_prev, state.audio_tail
         )
         return audio, state._replace(pfb_carry=carry, demod_prev=prev, audio_tail=tails)
+
+    # -- planes-rows mega-kernel API (round 3) ---------------------------
+    # The fused kernel's native stream format: (n, 2M) f32 rows, row k =
+    # [re | im] of input samples x[kM-(M-1) .. kM] (see planes_rows() and
+    # ops/pallas/fm_chain.py). No prep pass; for n_dev > 1 the kernel runs
+    # per time shard inside shard_map with ONE input-rows ppermute halo and
+    # `warm` rows of recomputed channel output (state is derived from the
+    # halo, so shards never need each other's *outputs* — no corner turn,
+    # audio stays time-sharded).
+
+    def _planes_setup(self, n_rows: int) -> tuple[int, int]:
+        from newsched_tpu.ops.pallas.fm_chain import _pick_tile, _round8
+
+        if self._planes_cfg is not None:
+            if self._planes_cfg[0] != n_rows:
+                raise ValueError(
+                    f"planes path built for n_rows={self._planes_cfg[0]}, "
+                    f"got {n_rows}")
+            return self._planes_cfg[1], self._planes_cfg[2]
+        if not self._mega_ok:
+            raise ValueError("mega-kernel constraints not met for step_planes")
+        M = self.nchans
+        A = len(self.audio_taps)
+        if n_rows % self.n_dev != 0:
+            raise ValueError(f"n_rows {n_rows} not divisible by mesh {self.n_dev}")
+        n_loc = n_rows // self.n_dev
+        # n_dev > 1 needs warm (= tile) + H8 halo rows out of each device's
+        # n_loc rows, so cap the tile at half the segment there.
+        cap = 512 if self.n_dev == 1 else min(512, max(n_loc // 2, 1))
+        tile = _pick_tile(n_loc, cap, self.audio_decim)
+        H8 = _round8(self.arm_taps.shape[1] - 1)
+        if tile < H8 or tile < A - 1:
+            raise ValueError(
+                f"per-device rows {n_loc} give tile {tile} < max(H8 {H8}, "
+                f"A-1 {A-1}); use a larger batch")
+        warm = 0 if self.n_dev == 1 else tile
+        if warm and warm < -(-A // self.audio_decim) * self.audio_decim:
+            raise ValueError(
+                f"warm {warm} rows cannot rebuild the {A}-tap audio state; "
+                "use a larger batch")
+        self._planes_cfg = (n_rows, tile, warm)
+        return tile, warm
+
+    def planes_row_width(self) -> int:
+        return 2 * self.nchans
+
+    def init_state_planes(self, n_rows: int) -> PlanesFMState:
+        """n_rows: planes rows per global batch (= batch_samples / nchans).
+        Must be a multiple of n_dev * audio_decim with enough rows per
+        device for one kernel tile."""
+        from newsched_tpu.ops.pallas.fm_chain import _round8
+
+        tile, warm = self._planes_setup(n_rows)
+        M = self.nchans
+        A = len(self.audio_taps)
+        H8 = _round8(self.arm_taps.shape[1] - 1)
+        hr = warm + H8
+        dev2 = NamedSharding(self.mesh, P(self.axis, None))
+        carry = jax.device_put(
+            jnp.zeros((self.n_dev * hr, 2 * M), jnp.float32), dev2)
+        if self.n_dev == 1:
+            return PlanesFMState(
+                carry=carry,
+                prev=jnp.zeros((1, 2 * M), jnp.float32),
+                tail=jnp.zeros((A - 1, 2 * M), jnp.float32),
+            )
+        rep = NamedSharding(self.mesh, P(None, None))
+        return PlanesFMState(
+            carry=carry,
+            prev=jax.device_put(jnp.zeros((1, 2 * M), jnp.float32), rep),
+            tail=jax.device_put(jnp.zeros((A - 1, 2 * M), jnp.float32), rep),
+        )
+
+    def step_planes(self, xrows: jax.Array, state: PlanesFMState):
+        """One batch through the fused mega-kernel on the planes stream.
+
+        xrows: (n_rows, 2M) f32 planes rows, sharded (or shardable)
+        P(axis, None). Returns (audio (n_rows // audio_decim, M) f32 —
+        time-sharded P(axis, None) — and the next PlanesFMState).
+        """
+        from newsched_tpu.ops.pallas.fm_chain import fm_chain_step_planes
+
+        n_rows = int(xrows.shape[0])
+        tile, warm = self._planes_setup(n_rows)
+        M = self.nchans
+        A = len(self.audio_taps)
+        c_fold = self.c_fold
+        ataps = self.audio_taps
+        decim = self.audio_decim
+        gain = np.float32(self.demod_gain)
+        precision = self.chain_precision
+        interp = self.interpret
+
+        if self.n_dev == 1:
+            hr = int(state.carry.shape[0])
+            aud, prev, tail = fm_chain_step_planes(
+                xrows, state.carry, state.prev, state.tail, c_fold, ataps,
+                decim, float(gain), warm=0, tile=tile,
+                interpret=self.interpret, precision=precision)
+            new_carry = (xrows[-hr:] if n_rows >= hr
+                         else jnp.concatenate([state.carry, xrows])[-hr:])
+            return aud, PlanesFMState(carry=new_carry, prev=prev, tail=tail)
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        axis_name = self.axis
+
+        def spmd(xr, carry):
+            # xr: (n_loc, 2M) local rows; carry: (warm+H8, 2M) local.
+            halo, new_carry = time_halo(xr, carry, axis_name)
+            z1 = jnp.zeros((1, 2 * M), jnp.float32)
+            zt = jnp.zeros((A - 1, 2 * M), jnp.float32)
+            aud, _, _ = fm_chain_step_planes(
+                xr, halo, z1, zt, c_fold, ataps, decim, float(gain),
+                warm=warm, tile=tile, interpret=interp, precision=precision)
+            return aud, new_carry
+
+        P2 = P(axis_name, None)
+        # check_vma=False: pallas_call's out_shape carries no varying-mesh-
+        # axes annotation, which the default shard_map validation rejects.
+        aud, new_carry = shard_map(
+            spmd, mesh=self.mesh, in_specs=(P2, P2), out_specs=(P2, P2),
+            check_vma=False,
+        )(xrows, state.carry)
+        return aud, state._replace(carry=new_carry)
+
+    def planes_input_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(self.axis, None))
 
     # -- complex-encoded boundary (axon TPU: complex64 cannot cross program
     # boundaries; see utils/cplx.py) ------------------------------------

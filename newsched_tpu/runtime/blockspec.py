@@ -57,10 +57,13 @@ def _make_expr_work(expr: str, out_port: str):
     code = compile(expr, "<block expr>", "eval")
 
     def work(self, state, ins, params, nout):
-        ns = {"jnp": jnp, "np": np}
+        import jax
+
+        ns = {"jnp": jnp, "np": np, "jax": jax}
         for k, v in ins.items():
             ns[k] = v
             ns[k + "_"] = v  # `in` is a keyword; expose `in_`
+        ns.update(getattr(self, "_statics", {}))
         ns.update(params)
         return state, {out_port: eval(code, ns)}
 
@@ -82,7 +85,10 @@ def block_from_yaml(descriptor: str, work: Callable | None = None) -> type[Block
     name = spec["block"]
     ports = spec.get("ports", [])
     params = spec.get("parameters", [])
-    rate = Fraction(str(spec.get("relative_rate", "1")))
+    rate_str = str(spec.get("relative_rate", "1"))
+    # An alphabetic rate is an expression over static parameters, resolved
+    # per instance in __init__; the class default stays 1.
+    rate = Fraction(1) if any(c.isalpha() for c in rate_str) else Fraction(rate_str)
     expr = spec.get("expr")
     if work is None and expr is None:
         raise ValueError(f"block {name}: provide a work callable or an expr")
@@ -90,15 +96,42 @@ def block_from_yaml(descriptor: str, work: Callable | None = None) -> type[Block
     out_ports = [p for p in ports if p["direction"] == "output"]
     work_fn = work or _make_expr_work(expr, out_ports[0]["id"])
 
+    rate_is_expr = any(c.isalpha() for c in rate_str)
+
     def __init__(self, name_=None, **overrides):
         Block.__init__(self, name_)
+        # Static (compile-time) parameters — the analog of the reference's
+        # typekey/vlen descriptor parameters that shape the generated code
+        # rather than becoming runtime-settable values: they resolve port
+        # shapes and the relative_rate expression, and appear to `expr` as
+        # plain Python values (so e.g. `in_[n-1::n]` is a static slice).
+        statics: dict[str, int] = {}
+        for prm in params:
+            if prm.get("static"):
+                v = overrides.pop(prm["id"], prm.get("default"))
+                if v is None:
+                    raise ValueError(f"{name}: static parameter "
+                                     f"{prm['id']} needs a value")
+                statics[prm["id"]] = int(v)
+                setattr(self, prm["id"], statics[prm["id"]])
+        self._statics = statics
+        if rate_is_expr:
+            self.relative_rate = Fraction(
+                eval(rate_str, {"Fraction": Fraction},
+                     {k: Fraction(v) for k, v in statics.items()}))
         for p in ports:
-            vlen = tuple(p.get("shape", ()) or ())
+            shape = p.get("shape", ()) or ()
+            if isinstance(shape, (int, str)):
+                shape = [shape]
+            vlen = tuple(statics[s] if isinstance(s, str) else int(s)
+                         for s in shape)
             if p["direction"] == "input":
                 self.add_input(p["id"], port_dtype(p["type"]), vlen)
             else:
                 self.add_output(p["id"], port_dtype(p["type"]), vlen)
         for prm in params:
+            if prm.get("static"):
+                continue
             default = overrides.get(prm["id"], prm.get("default"))
             if default is None:
                 raise ValueError(f"{name}: parameter {prm['id']} needs a value")

@@ -178,3 +178,54 @@ def test_runtime_stop_aborts_cleanly():
     t0 = time.monotonic()
     rt.wait()  # no raise
     assert time.monotonic() - t0 < 10
+
+
+# A receiver that consumes a few batches then dies abruptly (downstream
+# partition failure): the upstream's bounded send must surface it.
+DYING_RECEIVER_SCRIPT = """
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import zmq
+addr = sys.argv[1]
+ctx = zmq.Context.instance()
+sock = ctx.socket(zmq.PULL)
+sock.RCVHWM = 1  # tiny buffer: back-pressure reaches the sender fast
+sock.connect(addr)
+sock.recv()
+sock.recv()
+os._exit(1)  # hard death mid-stream, no clean close
+"""
+
+
+def test_downstream_process_death_raises_upstream():
+    """VERDICT r2 item #6: kill the DOWNSTREAM process mid-stream; the
+    upstream partition's wait() raises within a few seconds via the
+    bounded send (reference: runtime_proxy mirrors monitor messages in
+    BOTH directions, SURVEY.md §4.5)."""
+    import time
+
+    from newsched_tpu.blocks import zmq as zb
+    from newsched_tpu.runtime.runner import Runner
+
+    addr = "tcp://127.0.0.1:53413"
+    child = subprocess.Popen(
+        [sys.executable, "-c", DYING_RECEIVER_SCRIPT, addr],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    try:
+        fg = Flowgraph(batch_size=2048)
+        src = general.vector_source(_rand_complex(2048, seed=7), repeat=True)
+        snk = zb.push_sink(addr, bind=True, send_timeout_s=2.0, sndhwm=1)
+        fg.connect(src, 0, snk, 0)
+        runner = Runner(fg, total_items=1 << 30)
+        runner.start_async()
+        # wait for the child to consume its two batches and die
+        child.wait(timeout=60)
+        t0 = time.monotonic()
+        with pytest.raises(RuntimeError, match="accepted no data"):
+            runner.wait()
+        assert time.monotonic() - t0 < 5
+    finally:
+        if child.poll() is None:
+            child.kill()

@@ -171,3 +171,103 @@ def test_sharded_channelizer_256ch_config4():
     assert got.shape == ref.shape
     assert got.shape[1] == 256
     assert snr_db(ref, got) > 100
+
+
+# ---- planes-rows mega-kernel sharding (round 3) ------------------------
+
+def _planes_ref(x, M, taps, audio_taps, decim, gain, batches):
+    return _reference_chain(x, M, taps, audio_taps, decim, gain, batches)
+
+
+@pytest.mark.parametrize("n_dev", [1, 4, 8])
+def test_planes_megakernel_sharded_matches_unsharded(n_dev):
+    """The fused mega-kernel per time shard (warm-up recompute + input-rows
+    ppermute halo): exact vs the unsharded staged reference across batches,
+    for any mesh size (VERDICT r2 item #2)."""
+    from newsched_tpu.parallel.channelizer import planes_rows
+
+    M, L, decim, A = 16, 8, 4, 33
+    taps = firdes.prototype_channelizer_taps(M, L)
+    audio_taps = firdes.low_pass(1.0, 1.0, 0.1, 0.05, ntaps=A)
+    mesh = make_mesh(n_dev)
+    ch = ShardedFMChannelizer(mesh, M, taps, audio_taps, audio_decim=decim,
+                              demod_gain=1.1, chain_method="megakernel",
+                              interpret=True)
+    n_rows = n_dev * 128
+    B = n_rows * M
+    batches = 3
+    x = _rand_complex(B * batches, seed=33)
+    rows_all = planes_rows(x, M)
+    state = ch.init_state_planes(n_rows)
+    step = jax.jit(ch.step_planes)
+    outs = []
+    for b in range(batches):
+        xb = jax.device_put(jnp.asarray(rows_all[b * n_rows:(b + 1) * n_rows]),
+                            ch.planes_input_sharding())
+        audio, state = step(xb, state)
+        outs.append(np.asarray(audio))
+    got = np.concatenate(outs, axis=0)
+    ref = _planes_ref(x, M, taps, audio_taps, decim, 1.1, batches)
+    assert got.shape == ref.shape
+    assert snr_db(ref, got) > 100
+
+
+def test_planes_megakernel_complex_step_raises():
+    M, L = 16, 8
+    taps = firdes.prototype_channelizer_taps(M, L)
+    audio_taps = firdes.low_pass(1.0, 1.0, 0.1, 0.05, ntaps=33)
+    ch = ShardedFMChannelizer(make_mesh(4), M, taps, audio_taps,
+                              audio_decim=4, chain_method="megakernel",
+                              interpret=True)
+    with pytest.raises(NotImplementedError, match="step_planes"):
+        ch.step(jnp.zeros((ch.batch_multiple() * 8,), jnp.complex64),
+                ch.init_state())
+
+
+def test_planes_megakernel_output_time_sharded():
+    from newsched_tpu.parallel.channelizer import planes_rows
+
+    M, L, decim = 16, 8, 4
+    taps = firdes.prototype_channelizer_taps(M, L)
+    audio_taps = firdes.low_pass(1.0, 1.0, 0.1, 0.05, ntaps=33)
+    mesh = make_mesh(8)
+    ch = ShardedFMChannelizer(mesh, M, taps, audio_taps, audio_decim=decim,
+                              chain_method="megakernel", interpret=True)
+    n_rows = 8 * 128
+    x = _rand_complex(n_rows * M, seed=5)
+    xb = jax.device_put(jnp.asarray(planes_rows(x, M)),
+                        ch.planes_input_sharding())
+    audio, state = jax.jit(ch.step_planes)(xb, ch.init_state_planes(n_rows))
+    # audio rows stay time-sharded: no corner turn in the fused path
+    assert audio.sharding.spec == jax.sharding.PartitionSpec("t", None)
+    assert audio.shape == (n_rows // decim, M)
+
+
+def test_planes_megakernel_256ch_config4():
+    """BASELINE config #4 at 256 channels THROUGH THE MEGA-KERNEL on the
+    8-device sim mesh (VERDICT r2 item #2 'done when')."""
+    from newsched_tpu.parallel.channelizer import planes_rows
+
+    M, L, decim, A = 256, 4, 4, 17
+    taps = firdes.prototype_channelizer_taps(M, L)
+    audio_taps = firdes.low_pass(1.0, 1.0, 0.1, 0.05, ntaps=A)
+    mesh = make_mesh(8)
+    ch = ShardedFMChannelizer(mesh, M, taps, audio_taps, audio_decim=decim,
+                              demod_gain=0.7, chain_method="megakernel",
+                              interpret=True)
+    n_rows = 8 * 64
+    B = n_rows * M
+    x = _rand_complex(B * 2, seed=44)
+    rows_all = planes_rows(x, M)
+    state = ch.init_state_planes(n_rows)
+    step = jax.jit(ch.step_planes)
+    outs = []
+    for b in range(2):
+        xb = jax.device_put(jnp.asarray(rows_all[b * n_rows:(b + 1) * n_rows]),
+                            ch.planes_input_sharding())
+        audio, state = step(xb, state)
+        outs.append(np.asarray(audio))
+    got = np.concatenate(outs, axis=0)
+    ref = _planes_ref(x, M, taps, audio_taps, decim, 0.7, batches=2)
+    assert got.shape == ref.shape and got.shape[1] == 256
+    assert snr_db(ref, got) > 100
