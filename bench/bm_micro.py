@@ -179,11 +179,30 @@ def bm_fft_filter(ntaps: int = 1024, n: int = 1 << 25, batch: int = 1 << 21):
     return _time_graph(lambda: mk(n), n, batch, lambda: mk(4 * n))
 
 
+def bm_channelizer_fused(nchans: int = 64, n: int = 1 << 27, batch: int = 1 << 22):
+    """The flagship chain as the fused mega-kernel flowgraph (round 3:
+    models.fm_channelizer(fused=True) — planes source -> one Pallas block).
+    Compare with "channelizer" (the staged-blocks graph) for the fusion
+    win through the SAME runtime."""
+    from newsched_tpu import models
+
+    def mk(nn):
+        fg, _ = models.fm_channelizer(
+            nchans=nchans, taps_per_arm=16, audio_decim=8, batch_size=batch,
+            sink="null", n_samples=nn // nchans // 8, fused=True)
+        return fg
+
+    # The planes source's reference item is a ROW (= nchans samples), so
+    # the Runner's batch_size is in rows.
+    return _time_graph(lambda: mk(n), n, batch // nchans, lambda: mk(4 * n))
+
+
 ALL = {
     "copy_chain": bm_copy_chain,
     "fanout": bm_fanout,
     "fir_chain": bm_fir_chain,
     "channelizer": bm_channelizer,
+    "channelizer_fused": bm_channelizer_fused,
     "wbfm": bm_wbfm,
     "fft_filter": bm_fft_filter,
 }

@@ -10,3 +10,7 @@ flowgraph_monitor-across-processes -> nothing (one SPMD program).
 from newsched_tpu.parallel.mesh import make_mesh  # noqa: F401
 from newsched_tpu.parallel.halo import time_halo  # noqa: F401
 from newsched_tpu.parallel.channelizer import ShardedFMChannelizer  # noqa: F401
+from newsched_tpu.parallel.channelizer import (  # noqa: F401
+    PlanesFMState,
+    planes_rows,
+)

@@ -404,3 +404,24 @@ def test_yml_block_library():
     doc = _yaml.safe_load(grc_yaml(yml_blocks.multiply_const_y))
     assert doc["id"] == "math_multiply_const_y"
     assert doc["parameters"][0]["id"] == "k"
+
+
+def test_alsa_blocks_gate_cleanly_without_hardware():
+    """Live ALSA blocks (reference blocklib/audio) construct anywhere and
+    fail with a clear actionable error at start() on hosts without an
+    ALSA stack (TPU pods); with libasound present they drive the PCM via
+    ctypes (blocks/audio.py _alsa_pcm)."""
+    from newsched_tpu.blocks import audio
+
+    snk = audio.alsa_sink(sample_rate=8000)
+    src = audio.alsa_source(sample_rate=8000)
+    if audio.alsa_available():  # pragma: no cover - no sound hw in CI pods
+        snk.start(); snk.stop()
+        src.start(); src.stop()
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="libasound|snd_pcm"):
+            snk.start()
+        with _pytest.raises(RuntimeError, match="libasound|snd_pcm"):
+            src.start()

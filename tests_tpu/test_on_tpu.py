@@ -251,3 +251,56 @@ def test_megakernel_split3_precision_tpu():
     got1 = run(jax.lax.Precision.DEFAULT)
     assert snr_db(ref, got3) > 95
     assert snr_db(ref, got3) > snr_db(ref, got1) + 20
+
+
+def test_planes_megakernel_warm_and_pipelined_compiled():
+    """Round-3 paths compiled on the chip: the planes-rows kernel
+    (no-prep DMA split), its warm-up recompute mode (the sharded
+    flagship's per-device program), and the pipelined variant all agree
+    exactly with the carried-state baseline."""
+    from newsched_tpu.ops import firdes, pfb as pfb_ops
+    from newsched_tpu.ops.pallas.channelizer import _round8
+    from newsched_tpu.ops.pallas.fm_chain import fm_chain_step_planes
+
+    M, L, A, decim, gain = 64, 16, 65, 8, 0.5
+    n_out, tile = 2048, 512
+    taps = firdes.prototype_channelizer_taps(M, L)
+    ataps = firdes.low_pass(1.0, 1.0, 0.4 / decim, 0.1 / decim, ntaps=A)
+    arm = pfb_ops.pfb_arm_taps(np.asarray(taps, np.float32), M)
+    c = np.asarray(arm)[::-1, ::-1].T.copy()
+    H8 = _round8(L - 1)
+    x = _rand_complex(n_out * M, seed=20)
+    rows = np.concatenate([np.zeros(M - 1, np.complex64), x])[: n_out * M]
+    rows = rows.reshape(n_out, M)
+    P = np.concatenate([rows.real, rows.imag], axis=1).astype(np.float32)
+    z1 = np.zeros((1, 2 * M), np.float32)
+    zt = np.zeros((A - 1, 2 * M), np.float32)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("warm", "pipe"))
+    def f(vb, h, p0, t0, warm, pipe):
+        return fm_chain_step_planes(jnp.asarray(vb), jnp.asarray(h),
+                                    jnp.asarray(p0), jnp.asarray(t0), c,
+                                    ataps, decim, gain, warm=warm, tile=tile,
+                                    pipelined=pipe, precision="split3")
+
+    # carried-state baseline across two half-batches
+    h = n_out // 2
+    a1, p1, t1 = jax.device_get(f(P[:h], np.zeros((H8, 2 * M), np.float32),
+                                  z1, zt, 0, False))
+    a2, p2, t2 = jax.device_get(f(P[h:], P[h - H8: h], p1, t1, 0, False))
+
+    # warm-up recompute of the second half (zero state + bigger halo)
+    a2w, p2w, t2w = jax.device_get(
+        f(P[h:], P[h - tile - H8: h], z1, zt, tile, False))
+    np.testing.assert_array_equal(a2w, a2)
+    np.testing.assert_array_equal(p2w, p2)
+    np.testing.assert_array_equal(t2w, t2)
+
+    # pipelined variant, both modes
+    a1p, p1p, t1p = jax.device_get(
+        f(P[:h], np.zeros((H8, 2 * M), np.float32), z1, zt, 0, True))
+    np.testing.assert_array_equal(a1p, a1)
+    a2p, _, _ = jax.device_get(f(P[h:], P[h - tile - H8: h], z1, zt, tile, True))
+    np.testing.assert_array_equal(a2p, a2)
