@@ -425,3 +425,23 @@ def test_alsa_blocks_gate_cleanly_without_hardware():
             snk.start()
         with _pytest.raises(RuntimeError, match="libasound|snd_pcm"):
             src.start()
+
+
+def test_grc_export_all_shipped_descriptors():
+    """Every shipped yml descriptor renders valid GRC 4.0 metadata with
+    its declared ports (VERDICT r2 item #3: descriptor *coverage*, not
+    just the mechanism)."""
+    import yaml
+
+    from newsched_tpu.blocks import yml_blocks
+    from newsched_tpu.runtime.blockspec import grc_yaml
+
+    for name in yml_blocks.__all__:
+        cls = getattr(yml_blocks, name)
+        doc = yaml.safe_load(grc_yaml(cls))
+        spec = cls.yaml_spec
+        assert doc["id"] == f"{spec['module']}_{spec['block']}", name
+        n_in = sum(1 for p in spec["ports"] if p["direction"] == "input")
+        n_out = sum(1 for p in spec["ports"] if p["direction"] == "output")
+        assert len(doc["inputs"]) == n_in and len(doc["outputs"]) == n_out, name
+        assert doc["file_format"] == 1, name
