@@ -22,6 +22,7 @@ def main():
     from newsched_tpu.ops import firdes, pfb as pfb_ops
     from newsched_tpu.ops.pallas.channelizer import _round8
     from newsched_tpu.ops.pallas.fm_chain import fm_chain_step_planes
+    from newsched_tpu.parallel.channelizer import planes_rows
 
     taps = firdes.prototype_channelizer_taps(M, Lp)
     ataps = firdes.low_pass(1.0, 1.0, 0.4 / decim, 0.1 / decim, ntaps=A)
@@ -30,10 +31,9 @@ def main():
     H8 = _round8(Lp - 1)
     rng = np.random.default_rng(0)
     x = (rng.standard_normal(B) + 1j * rng.standard_normal(B)).astype(np.complex64) * 0.5
-    rows = np.concatenate([np.zeros(M - 1, np.complex64), x])[: N_OUT * M]
-    rows = rows.reshape(N_OUT, M)
-    P = jnp.asarray(np.concatenate([rows.real, rows.imag], axis=1).astype(np.float32))
-    halo = jnp.asarray(np.asarray(P)[-H8:])
+    Pn = planes_rows(x, M)
+    P = jnp.asarray(Pn)
+    halo = jnp.asarray(Pn[-H8:])
 
     def make_run(pipe):
         @functools.partial(jax.jit, static_argnames=("k",))

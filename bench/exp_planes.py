@@ -26,6 +26,7 @@ def main():
     from newsched_tpu.ops.pallas.channelizer import _round8
     from newsched_tpu.ops.pallas.fm_chain import fm_chain_step_planes
     from newsched_tpu.parallel import ShardedFMChannelizer, make_mesh
+    from newsched_tpu.parallel.channelizer import planes_rows
     from newsched_tpu.utils.cplx import ComplexParts
 
     taps = firdes.prototype_channelizer_taps(M, Lp)
@@ -36,9 +37,7 @@ def main():
     rng = np.random.default_rng(0)
     x = (rng.standard_normal(B) + 1j * rng.standard_normal(B)).astype(np.complex64) * 0.5
 
-    rows = np.concatenate([np.zeros(M - 1, np.complex64), x])[: N_OUT * M]
-    rows = rows.reshape(N_OUT, M)
-    P = np.concatenate([rows.real, rows.imag], axis=1).astype(np.float32)
+    P = planes_rows(x, M)
     Pd = jnp.asarray(P)
     halo = jnp.asarray(P[-H8:])  # replayed stream: constant halo
 

@@ -20,7 +20,22 @@ import numpy as np  # noqa: E402
 import jax  # noqa: E402
 
 if len(jax.devices()) < 8:
-    raise SystemExit("need 8 devices (set JAX_PLATFORMS=cpu for the sim mesh)")
+    # Fewer than 8 accelerators (e.g. the 1-chip axon box): fall back to
+    # the simulated CPU mesh. NB env JAX_PLATFORMS=cpu does NOT work here —
+    # the ambient sitecustomize overrides it; the config update below is
+    # the supported switch (docs/architecture.md) and only works because
+    # the backend above was queried, not locked... so re-exec cleanly.
+    import subprocess
+    import sys
+
+    if os.environ.get("_NS_SHARDED_EX_CHILD") != "1":
+        env = dict(os.environ, _NS_SHARDED_EX_CHILD="1")
+        code = ("import jax, runpy, sys; "
+                "jax.config.update('jax_platforms', 'cpu'); "
+                "runpy.run_path(sys.argv[1], run_name='__main__')")
+        raise SystemExit(subprocess.call(
+            [sys.executable, "-c", code, __file__], env=env))
+    raise SystemExit("need 8 devices even on the CPU sim mesh")
 
 import jax.numpy as jnp  # noqa: E402
 

@@ -67,12 +67,17 @@ class _zmq_sink_base(Block):
     collects_tags = True
 
     def __init__(self, address: str, sock_type: str, bind: bool, dtype, vlen, name,
-                 send_timeout_s: float = 30.0, sndhwm: int | None = None):
+                 send_timeout_s: float | None = None, sndhwm: int | None = None):
         super().__init__(name)
         self.address = address
         self.sock_type = sock_type
         self.bind = bind
-        self.send_timeout_s = float(send_timeout_s)
+        # send_timeout_s=None (default) back-pressures indefinitely while
+        # staying abort-responsive — a slow-but-alive consumer (throttled,
+        # audio-paced) must NOT abort the stream. Set a bound to get
+        # dead-downstream detection: the send raises after this many
+        # seconds with no peer progress (test_distributed.py).
+        self.send_timeout_s = None if send_timeout_s is None else float(send_timeout_s)
         # sndhwm: outgoing high-water mark in MESSAGES (batches). A small
         # value bounds how much a dead/slow peer can silently absorb before
         # back-pressure (and thus the send timeout) kicks in.
@@ -108,7 +113,8 @@ class _zmq_sink_base(Block):
         EXIT in both directions across runtime_proxy, SURVEY.md §4.5)."""
         import zmq
 
-        deadline = time.monotonic() + self.send_timeout_s
+        deadline = (None if self.send_timeout_s is None
+                    else time.monotonic() + self.send_timeout_s)
         while True:
             if self._abort:
                 raise StreamAborted(f"{self.name}: send aborted")
@@ -117,7 +123,7 @@ class _zmq_sink_base(Block):
                 return
             except zmq.Again:
                 self._sock.poll(_POLL_MS, zmq.POLLOUT)
-                if time.monotonic() > deadline:
+                if deadline is not None and time.monotonic() > deadline:
                     raise TimeoutError(
                         f"{self.name}: peer at {self.address} accepted no "
                         f"data within {self.send_timeout_s}s — downstream "
@@ -146,17 +152,25 @@ class _zmq_sink_base(Block):
             try:
                 import zmq
 
-                # EOF frame is best-effort and must never hang teardown
-                # (a blocking send here deadlocked shutdown when the peer
-                # died mid-stream): one bounded POLLOUT wait, then give up.
+                # EOF delivery is bounded, not best-effort-once: retry up
+                # to eof_timeout so a live-but-backlogged peer still gets a
+                # clean end-of-stream, while a dead peer can never hang
+                # teardown (the old unconditionally-blocking send
+                # deadlocked shutdown when the peer died mid-stream).
                 eof = _encode_batch(
                     np.empty((0,) + self.vlen, self.dtype.np_dtype), eof=True)
-                try:
-                    self._sock.send(eof, flags=zmq.NOBLOCK)
-                except zmq.Again:
-                    if not self._abort:
-                        self._sock.poll(1000, zmq.POLLOUT)
+                eof_timeout = 0.0 if self._abort else (
+                    self.send_timeout_s if self.send_timeout_s is not None
+                    else 5.0)
+                deadline = time.monotonic() + eof_timeout
+                while True:
+                    try:
                         self._sock.send(eof, flags=zmq.NOBLOCK)
+                        break
+                    except zmq.Again:
+                        if time.monotonic() > deadline:
+                            break
+                        self._sock.poll(_POLL_MS, zmq.POLLOUT)
             except Exception:
                 pass
             self._sock.close(linger=1000)
@@ -197,7 +211,7 @@ class push_sink(_zmq_sink_base):
     """PUSH socket sink (reference zmq::push_sink); pairs with pull_source."""
 
     def __init__(self, address: str, bind: bool = True, dtype="cf32", vlen=(),
-                 send_timeout_s: float = 30.0, sndhwm: int | None = None,
+                 send_timeout_s: float | None = None, sndhwm: int | None = None,
                  name=None):
         super().__init__(address, "PUSH", bind, dtype, vlen, name,
                          send_timeout_s, sndhwm)
@@ -207,7 +221,7 @@ class pub_sink(_zmq_sink_base):
     """PUB socket sink (reference zmq::pub_sink)."""
 
     def __init__(self, address: str, bind: bool = True, dtype="cf32", vlen=(),
-                 send_timeout_s: float = 30.0, sndhwm: int | None = None,
+                 send_timeout_s: float | None = None, sndhwm: int | None = None,
                  name=None):
         super().__init__(address, "PUB", bind, dtype, vlen, name,
                          send_timeout_s, sndhwm)

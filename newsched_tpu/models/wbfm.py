@@ -122,8 +122,9 @@ def fm_channelizer(nchans: int = 64, fs: float = 100e6, taps_per_arm: int = 16,
     noise_planes_source feeds the kernel its native format directly — the
     flagship/bench configuration (requires a TPU backend unless
     interpret=True). A source with an (2*nchans,)-vector rf32 output port
-    is used as a planes source as-is. n_samples/batch_size semantics are
-    identical in both modes (samples at the wideband rate).
+    is used as a planes source as-is. Semantics are identical in both
+    modes: n_samples bounds the OUTPUT stream (audio (nchans,)-vector
+    items, the head block's units); batch_size is wideband samples.
     """
     chan_rate = fs / nchans
     if fused:

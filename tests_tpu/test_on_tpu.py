@@ -269,10 +269,10 @@ def test_planes_megakernel_warm_and_pipelined_compiled():
     arm = pfb_ops.pfb_arm_taps(np.asarray(taps, np.float32), M)
     c = np.asarray(arm)[::-1, ::-1].T.copy()
     H8 = _round8(L - 1)
+    from newsched_tpu.parallel.channelizer import planes_rows
+
     x = _rand_complex(n_out * M, seed=20)
-    rows = np.concatenate([np.zeros(M - 1, np.complex64), x])[: n_out * M]
-    rows = rows.reshape(n_out, M)
-    P = np.concatenate([rows.real, rows.imag], axis=1).astype(np.float32)
+    P = planes_rows(x, M)
     z1 = np.zeros((1, 2 * M), np.float32)
     zt = np.zeros((A - 1, 2 * M), np.float32)
 
