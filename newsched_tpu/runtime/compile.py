@@ -47,11 +47,26 @@ class CompiledFlowgraph:
     sink_leads: dict[str, int]  # sink block name -> leading items to drop
     step: Callable[[dict, dict], tuple[dict, dict]]
     mesh: Any = None  # device mesh the step is constrained to (None = single)
+    time_axis: str | None = None
+
+    def _mesh_n(self) -> int:
+        return (math.prod(self.mesh.shape.values())
+                if self.mesh is not None else 1)
 
     def init_states(self) -> dict[str, Any]:
-        return {
-            b.name: b.init_state(self.n_in[b.name], self.n_out[b.name]) for b in self.order
-        }
+        # Blocks may carry a mesh-shaped state variant (e.g. the fused
+        # mega-kernel block's per-device carry rows) via
+        # ``init_state_sharded`` — the state twin of ``work_sharded``.
+        out: dict[str, Any] = {}
+        axis = self.time_axis or (self.mesh.axis_names[0]
+                                  if self.mesh is not None else None)
+        for b in self.order:
+            if self._mesh_n() > 1 and hasattr(b, "init_state_sharded"):
+                out[b.name] = b.init_state_sharded(
+                    self.n_in[b.name], self.n_out[b.name], self.mesh, axis)
+            else:
+                out[b.name] = b.init_state(self.n_in[b.name], self.n_out[b.name])
+        return out
 
     def init_params(self) -> dict[str, Any]:
         return {b.name: b.param_leaves() for b in self.order}
@@ -227,6 +242,7 @@ def compile_flowgraph(
         sink_leads=sink_leads,
         step=step,
         mesh=mesh,
+        time_axis=time_axis,
     )
 
 
@@ -294,6 +310,7 @@ def build_step(g: Graph, order: list[Block], n_out: dict[str, int],
     # annotate shardings, let the compiler insert collectives).
     constrain = None
     n_shard = 0
+    axis = None
     if mesh is not None and math.prod(mesh.shape.values()) > 1:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec
@@ -390,7 +407,18 @@ def build_step(g: Graph, order: list[Block], n_out: dict[str, int],
                                          n_out[b.name], in_tags=merged_in)
                 out_tags = {p.name: otags for p in b.outputs}
             else:
-                st, outs = b.work(states[b.name], ins, params[b.name], n_out[b.name])
+                # Explicit-collective lowering hook: under a real mesh, a
+                # block exposing ``work_sharded`` runs its own shard_map
+                # formulation (e.g. the fused mega-kernel per time shard)
+                # instead of relying on the SPMD partitioner — the graph
+                # analog of the reference's per-edge custom buffers.
+                if n_shard > 1 and hasattr(b, "work_sharded"):
+                    st, outs = b.work_sharded(states[b.name], ins,
+                                              params[b.name], n_out[b.name],
+                                              mesh=mesh, axis=axis)
+                else:
+                    st, outs = b.work(states[b.name], ins, params[b.name],
+                                      n_out[b.name])
                 if b.tag_policy == "one_to_one":
                     out_tags = {
                         p.name: _remap(in_tags_by_port[i]

@@ -140,3 +140,34 @@ def test_mesh_run_is_actually_sharded():
     # 8 distinct single-device shards along the leading axis
     assert len({s.device for s in leaf.addressable_shards}) == 8
     assert leaf.addressable_shards[0].data.shape[0] == leaf.shape[0] // 8
+
+
+def _run_fused_graph(mesh, rows, nchans, n_out_items, batch_rows):
+    ataps = firdes.low_pass(1.0, 1.0, 0.1, 0.05, ntaps=17)
+    src = general.vector_source(rows, dtype="rf32", vlen=(2 * nchans,))
+    fg, blk = models.fm_channelizer(
+        nchans=nchans, taps_per_arm=8, audio_decim=4, n_samples=n_out_items,
+        source=src, batch_size=batch_rows * nchans, sink="vector",
+        fused=True, interpret=True, audio_taps=ataps)
+    fg.run(mesh=mesh)
+    return blk["sink"].data()
+
+
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_fused_model_graph_mesh_matches_single(n_dev):
+    """Round 3: the FUSED flagship model compiles sharded THROUGH THE GRAPH
+    (compile.py work_sharded hook -> per-time-shard mega-kernel with
+    ppermute halo + warm-up recompute) and matches the single-device fused
+    run across multiple batches."""
+    from newsched_tpu.parallel.channelizer import planes_rows
+
+    M, decim = 16, 4
+    batch_rows = n_dev * 64           # rows per batch (row = M samples)
+    n_batches = 3
+    x = _rand_complex(batch_rows * M * n_batches, seed=11)
+    rows = planes_rows(x, M)
+    n_out = batch_rows // decim * n_batches
+    ref = _run_fused_graph(None, rows, M, n_out, batch_rows)
+    got = _run_fused_graph(make_mesh(n_dev), rows, M, n_out, batch_rows)
+    assert got.shape == ref.shape
+    assert snr_db(ref, got) > 100

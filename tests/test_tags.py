@@ -201,3 +201,28 @@ def test_tag_capacity_limit_drops_counted():
     # All 4 tags valid in the single batch; one is dropped and counted.
     assert runner.stats.get("tag_drops", 0) == 1
     assert len(snk.tags()) == 3
+
+
+def test_tags_through_fused_megakernel_graph():
+    """Stream tags traverse the fused mega-kernel block with the exact
+    rational remap (rate 1/(M*decim) through adapter + fused stages) —
+    the generic compiler tag plane needs no block cooperation."""
+    import numpy as np
+
+    from newsched_tpu import models
+    from newsched_tpu.blocks import general
+
+    M, decim = 16, 4
+    rng = np.random.default_rng(0)
+    B = 8192
+    x = (rng.standard_normal(B) + 1j * rng.standard_normal(B)).astype(np.complex64)
+    n_aud = B // M // decim
+    src = general.vector_source(x, tags=[(0, "start"), (B // 2, "mid", 7.5)])
+    fg, bl = models.fm_channelizer(nchans=M, taps_per_arm=8, audio_decim=decim,
+                                   n_samples=n_aud, source=src, batch_size=2048,
+                                   sink="vector", fused=True, interpret=True)
+    fg.run()
+    tags = bl["sink"].tags()
+    assert [(t.offset, t.key) for t in tags] == \
+        [(0, "start"), (B // 2 // M // decim, "mid")]
+    assert tags[1].value[0] == 7.5
