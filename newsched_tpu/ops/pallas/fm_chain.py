@@ -249,7 +249,10 @@ def _kernel(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * M), 1)
     sgn = jnp.where(lane < M, jnp.float32(1.0), jnp.float32(-1.0))
     PI = sgn * (t2 - pltpu.roll(t2, M, 1))
-    aud = atan2(PI, PR) * jnp.float32(gain)          # (T, 2M) dup halves
+    # split3's matmul floor (~-96 dB) dwarfs the degree-5 polynomial error
+    # (-113 dBc) — drop 4 FMA steps there; HIGHEST keeps degree 9.
+    aud = atan2(PI, PR, deg=5 if precision == "split3" else 9) \
+        * jnp.float32(gain)                           # (T, 2M) dup halves
     # audio FIR + decimation (Toeplitz matmul over [tail; aud])
     audfull = jnp.concatenate([carry_tail[:, :], aud], axis=0)  # (A-1+T, 2M)
     aud_ref[:, :] = _mm(h_ref[:, :], audfull, precision)  # (T//decim, 2M)
@@ -332,7 +335,8 @@ def _stage_b(yprev, carry_prev, carry_tail, h_ref, aud_ref, *,
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * M), 1)
     sgn = jnp.where(lane < M, jnp.float32(1.0), jnp.float32(-1.0))
     PI = sgn * (t2 - pltpu.roll(t2, M, 1))
-    aud = atan2(PI, PR) * jnp.float32(gain)
+    aud = atan2(PI, PR, deg=5 if precision == "split3" else 9) \
+        * jnp.float32(gain)
     audfull = jnp.concatenate([carry_tail[:, :], aud], axis=0)
     aud_ref[:, :] = _mm(h_ref[:, :], audfull, precision)
     carry_prev[:, :] = Y[T - 1:T, :]

@@ -23,10 +23,15 @@ import numpy as np
 
 import jax.numpy as jnp
 
-_DEG = 9  # polynomial degree in z^2 (odd powers z, z^3, ..., z^19)
+_DEG = 9  # default polynomial degree in z^2 (odd powers z, z^3, ..., z^19)
+# Measured max fit error by degree (see BASELINE.md): 9 -> 1e-9, 7 -> 4e-8,
+# 5 -> 1.8e-6 (-113 dBc). Degree 5 is safely below the split3 matmul floor
+# (~-96 dB), so the fused kernel drops 4 FMA steps there; float32
+# evaluation noise (~1e-7) dominates beyond degree 7 anyway.
+_VALID_DEGS = (5, 7, 9)
 
 
-def _fit_atan_coeffs(deg: int = _DEG) -> np.ndarray:
+def _fit_atan_coeffs(deg: int) -> np.ndarray:
     """atan(z) ~ z * sum_k c[k] * (z^2)^k on [0, 1] (c[0] ~ 1)."""
     n = 2048
     # Chebyshev nodes mapped to (0, 1] — dense near the tricky z=1 end.
@@ -38,34 +43,41 @@ def _fit_atan_coeffs(deg: int = _DEG) -> np.ndarray:
     return c.astype(np.float32)
 
 
-_COEFFS = _fit_atan_coeffs()
-_MAX_FIT_ERR = float(
-    np.abs(
-        np.polynomial.polynomial.polyval(
-            np.linspace(0, 1, 4001) ** 2, _COEFFS.astype(np.float64)
-        )
-        * np.linspace(0, 1, 4001)
-        - np.arctan(np.linspace(0, 1, 4001))
-    ).max()
-)
-assert _MAX_FIT_ERR < 5e-7, _MAX_FIT_ERR
+_COEFFS_BY_DEG = {d: _fit_atan_coeffs(d) for d in _VALID_DEGS}
+# bounds are for float32-quantized coefficients (quantization adds ~3e-8)
+_FIT_BOUND = {5: 2e-6, 7: 1e-7, 9: 5e-8}
+for _d, _c in _COEFFS_BY_DEG.items():
+    _err = float(
+        np.abs(
+            np.polynomial.polynomial.polyval(
+                np.linspace(0, 1, 4001) ** 2, _c.astype(np.float64)
+            )
+            * np.linspace(0, 1, 4001)
+            - np.arctan(np.linspace(0, 1, 4001))
+        ).max()
+    )
+    assert _err < _FIT_BOUND[_d], (_d, _err)
+_COEFFS = _COEFFS_BY_DEG[_DEG]
 
 
-def atan2(y, x):
+def atan2(y, x, deg: int = _DEG):
     """Pallas-safe elementwise atan2(y, x), float32 in/out.
 
     Matches jnp.arctan2 to ~1e-6 absolute everywhere including the axes;
-    (0, 0) returns 0 like the IEEE convention for +0/+0.
+    (0, 0) returns 0 like the IEEE convention for +0/+0. ``deg`` selects
+    the polynomial degree (valid: 5/7/9) — lower degrees trade accuracy
+    for VPU FMA steps (table above).
     """
+    coeffs = _COEFFS_BY_DEG[deg]
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay)
     lo = jnp.minimum(ax, ay)
     z = lo / jnp.maximum(hi, jnp.float32(1e-37))  # [0,1]; guards 0/0
     w = z * z
-    acc = jnp.full_like(z, _COEFFS[_DEG])
-    for k in range(_DEG - 1, -1, -1):
-        acc = acc * w + jnp.float32(_COEFFS[k])
+    acc = jnp.full_like(z, coeffs[deg])
+    for k in range(deg - 1, -1, -1):
+        acc = acc * w + jnp.float32(coeffs[k])
     a = z * acc
     pi = jnp.float32(np.pi)
     a = jnp.where(ay > ax, pi * 0.5 - a, a)
