@@ -29,8 +29,9 @@ Two input conventions share one kernel body:
 
 - ``fm_chain_step`` (round-1 API): caller passes the full commutator
   matrix V re/im planes INCLUDING the L-1-row PFB halo; the wrapper pays
-  an XLA lane-concat prep pass (~35 us on the flagship — BASELINE.md
-  residual #2).
+  an XLA lane-concat prep pass per call (hoisted by XLA when the input
+  is loop-invariant — see BASELINE.md round-3 addendum for the corrected
+  accounting).
 - ``fm_chain_step_planes`` (round-3, the flagship/bench path): the STREAM
   format IS the planes-rows matrix — (n, 2M) f32, row k =
   [re | im] of input samples x[kM-(M-1) .. kM] ("skewed V rows", the
@@ -490,7 +491,8 @@ def fm_chain_step(vr: jax.Array, vi: jax.Array, prev0: jax.Array,
     Returns (audio (n_out//decim, M) f32, prev (1, 2M), tail (A-1, 2M)).
 
     This wrapper pays an XLA lane-concat prep pass to build the planes
-    stream; the planes-native path (``fm_chain_step_planes``) avoids it.
+    stream (hoisted when the input is loop-invariant); the planes-native
+    path (``fm_chain_step_planes``) avoids it unconditionally.
     """
     L, M = int(arm_c.shape[0]), int(arm_c.shape[1])
     need = L - 1 + n_out
