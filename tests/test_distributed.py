@@ -184,14 +184,13 @@ def test_runtime_stop_aborts_cleanly():
 # partition failure): the upstream's bounded send must surface it.
 DYING_RECEIVER_SCRIPT = """
 import os, sys
-import jax
-jax.config.update("jax_platforms", "cpu")
 import zmq
 addr = sys.argv[1]
 ctx = zmq.Context.instance()
 sock = ctx.socket(zmq.PULL)
 sock.RCVHWM = 1  # tiny buffer: back-pressure reaches the sender fast
 sock.connect(addr)
+print("ready", flush=True)  # parent waits for this before streaming
 sock.recv()
 sock.recv()
 os._exit(1)  # hard death mid-stream, no clean close
@@ -211,7 +210,7 @@ def test_downstream_process_death_raises_upstream():
     addr = "tcp://127.0.0.1:53413"
     child = subprocess.Popen(
         [sys.executable, "-c", DYING_RECEIVER_SCRIPT, addr],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
     )
     try:
         fg = Flowgraph(batch_size=2048)
@@ -219,6 +218,10 @@ def test_downstream_process_death_raises_upstream():
         snk = zb.push_sink(addr, bind=True, send_timeout_s=2.0, sndhwm=1)
         fg.connect(src, 0, snk, 0)
         runner = Runner(fg, total_items=1 << 30)
+        # Wait for the child to CONNECT before streaming: under a loaded
+        # CI box its interpreter startup can exceed the 2 s send timeout,
+        # which would trip the dead-peer detection before any peer existed.
+        assert child.stdout.readline().strip() == "ready"
         runner.start_async()
         # wait for the child to consume its two batches and die
         child.wait(timeout=60)
