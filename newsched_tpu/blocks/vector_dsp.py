@@ -265,60 +265,52 @@ class fm_channelizer_fused_planes(Block):
                  else jnp.concatenate([state["carry"], x])[-self.h8:])
         return {"carry": carry, "prev": prev, "atail": atail}, {"out": aud}
 
+    # -- graph-level sharding (compiler work_sharded/init_state_sharded
+    # hooks): under fg.run(mesh=...) the block lowers itself through the
+    # same per-time-shard shard_map formulation as
+    # parallel.channelizer.ShardedFMChannelizer.step_planes (ppermute
+    # input halo + warm-up recompute) — Pallas kernels cannot be
+    # auto-partitioned by XLA's SPMD pass, so the block supplies its own.
 
-# -- graph-level sharding of the fused block (round 3) --------------------
-# fm_channelizer_fused_planes lowers itself under fg.run(mesh=...): the
-# compiler's work_sharded/init_state_sharded hooks route the block through
-# the same per-time-shard shard_map formulation as
-# parallel.channelizer.ShardedFMChannelizer.step_planes (ppermute input
-# halo + warm-up recompute), so the flagship model compiles sharded
-# THROUGH THE GRAPH with the mega-kernel — no bespoke pipeline needed.
+    def _sharded_pipe(self, mesh, axis):
+        from newsched_tpu.parallel.channelizer import ShardedFMChannelizer
 
-def _fused_sharded_pipe(self, mesh, axis):
-    from newsched_tpu.parallel.channelizer import ShardedFMChannelizer
+        key = (tuple(d.id for d in mesh.devices.flat), axis)
+        cache = getattr(self, "_sharded_cache", None)
+        if cache is None or cache[0] != key:
+            proto = np.asarray(self.arm).T.reshape(-1)  # inverse of pfb_arm_taps
+            ch = ShardedFMChannelizer(
+                mesh, self.nchans, proto, self.audio_taps,
+                audio_decim=self.audio_decim, demod_gain=self.gain, axis=axis,
+                chain_method="megakernel", chain_precision=self.precision,
+                interpret=self.interpret)
+            self._sharded_cache = (key, ch)
+        return self._sharded_cache[1]
 
-    key = (id(mesh), axis)
-    cache = getattr(self, "_sharded_cache", None)
-    if cache is None or cache[0] != key:
-        proto = np.asarray(self.arm).T.reshape(-1)  # inverse of pfb_arm_taps
-        ch = ShardedFMChannelizer(
-            mesh, self.nchans, proto, self.audio_taps,
-            audio_decim=self.audio_decim, demod_gain=self.gain, axis=axis,
-            chain_method="megakernel", chain_precision=self.precision,
-            interpret=self.interpret)
-        self._sharded_cache = (key, ch)
-    return self._sharded_cache[1]
+    def init_state_sharded(self, nin, nout, mesh, axis):
+        from newsched_tpu.ops.pallas.fm_chain import _round8
 
+        ch = self._sharded_pipe(mesh, axis)
+        tile, warm = ch._planes_setup(nin)
+        hr = warm + _round8(self.arm.shape[1] - 1)
+        n_dev = mesh.shape[axis]
+        M = self.nchans
+        A = len(self.audio_taps)
+        return {
+            "carry": jnp.zeros((n_dev * hr, 2 * M), jnp.float32),
+            "prev": jnp.zeros((1, 2 * M), jnp.float32),
+            "atail": jnp.zeros((A - 1, 2 * M), jnp.float32),
+        }
 
-def _fused_init_state_sharded(self, nin, nout, mesh, axis):
-    from newsched_tpu.ops.pallas.fm_chain import _round8
+    def work_sharded(self, state, ins, params, nout, mesh, axis):
+        from newsched_tpu.parallel.channelizer import PlanesFMState
 
-    ch = self._fused_sharded_pipe(mesh, axis)
-    tile, warm = ch._planes_setup(nin)
-    hr = warm + _round8(self.arm.shape[1] - 1)
-    n_dev = mesh.shape[axis]
-    M = self.nchans
-    A = len(self.audio_taps)
-    return {
-        "carry": jnp.zeros((n_dev * hr, 2 * M), jnp.float32),
-        "prev": jnp.zeros((1, 2 * M), jnp.float32),
-        "atail": jnp.zeros((A - 1, 2 * M), jnp.float32),
-    }
+        if mesh.shape[axis] <= 1:
+            return self.work(state, ins, params, nout)
+        ch = self._sharded_pipe(mesh, axis)
+        st = PlanesFMState(carry=state["carry"], prev=state["prev"],
+                           tail=state["atail"])
+        aud, st2 = ch.step_planes(ins["in"], st)
+        return ({"carry": st2.carry, "prev": st2.prev, "atail": st2.tail},
+                {"out": aud})
 
-
-def _fused_work_sharded(self, state, ins, params, nout, mesh, axis):
-    from newsched_tpu.parallel.channelizer import PlanesFMState
-
-    if mesh.shape[axis] <= 1:
-        return self.work(state, ins, params, nout)
-    ch = self._fused_sharded_pipe(mesh, axis)
-    st = PlanesFMState(carry=state["carry"], prev=state["prev"],
-                       tail=state["atail"])
-    aud, st2 = ch.step_planes(ins["in"], st)
-    return ({"carry": st2.carry, "prev": st2.prev, "atail": st2.tail},
-            {"out": aud})
-
-
-fm_channelizer_fused_planes._fused_sharded_pipe = _fused_sharded_pipe
-fm_channelizer_fused_planes.init_state_sharded = _fused_init_state_sharded
-fm_channelizer_fused_planes.work_sharded = _fused_work_sharded

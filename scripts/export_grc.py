@@ -110,14 +110,15 @@ def export(outdir: str) -> tuple[int, list[str]]:
     from newsched_tpu.runtime.blockspec import grc_yaml
 
     os.makedirs(outdir, exist_ok=True)
-    # wav_source requires a readable WAV: synthesize a tiny one.
+    # wav_source requires a readable WAV: synthesize a tiny one (local
+    # copy of the args table — export() stays side-effect free).
     import tempfile
 
     import scipy.io.wavfile as _wf
 
     _wav = os.path.join(tempfile.gettempdir(), "_grc_export_probe.wav")
     _wf.write(_wav, 8000, np.zeros(16, np.float32))
-    EXAMPLE_ARGS["wav_source"] = (_wav,)
+    example_args = {**EXAMPLE_ARGS, "wav_source": (_wav,)}
     written, skipped = 0, []
     for modname in MODULES:
         try:
@@ -132,7 +133,7 @@ def export(outdir: str) -> tuple[int, list[str]]:
                 continue
             if cls.__module__ != mod.__name__ and modname != "yml_blocks":
                 continue  # re-exported from elsewhere
-            args = EXAMPLE_ARGS.get(name, ())
+            args = example_args.get(name, ())
             if len(args) == 1 and args[0] is None:
                 args = ()
             kwargs = EXAMPLE_KWARGS.get(name, {})
