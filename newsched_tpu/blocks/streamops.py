@@ -106,6 +106,9 @@ class keep_m_in_n(Block):
         if not 0 < self.m <= self.n or self.offset + self.m > self.n:
             raise ValueError("need 0 < m <= n and offset+m <= n")
         self.relative_rate = Fraction(self.m, self.n)
+        # grouping constraint beyond the (possibly reduced) rate fraction:
+        # the compiler sizes batches so input counts divide by n
+        self.in_multiple = self.n
         self.add_input("in", dtype)
         self.add_output("out", dtype)
 
@@ -137,6 +140,7 @@ class interleave(Block):
         super().__init__(name)
         self.nstreams, self.blocksize = int(nstreams), int(blocksize)
         self.relative_rate = Fraction(self.nstreams, 1)
+        self.in_multiple = self.blocksize
         for k in range(self.nstreams):
             self.add_input(f"in{k}", dtype)
         self.add_output("out", dtype)
@@ -156,6 +160,7 @@ class deinterleave(Block):
         super().__init__(name)
         self.nstreams, self.blocksize = int(nstreams), int(blocksize)
         self.relative_rate = Fraction(1, self.nstreams)
+        self.in_multiple = self.nstreams * self.blocksize
         self.add_input("in", dtype)
         for k in range(self.nstreams):
             self.add_output(f"out{k}", dtype)

@@ -108,10 +108,10 @@ def _propagate_rates(g: Graph, order: list[Block]) -> dict[str, Fraction]:
 
 
 def _choose_batch(rates: dict[str, Fraction], requested: int | None,
-                  shard_n: int = 1) -> int:
+                  shard_n: int = 1, extra_lcm: int = 1) -> int:
     from newsched_tpu.utils import prefs
 
-    lcm = 1
+    lcm = int(extra_lcm)
     for r in rates.values():
         lcm = lcm * r.denominator // math.gcd(lcm, r.denominator)
         # also keep numerators' contribution: n_out must be integer for
@@ -171,7 +171,21 @@ def compile_flowgraph(
     if mesh is not None:
         time_axis = time_axis or mesh.axis_names[0]
         shard_n = mesh.shape[time_axis]
-    N = _choose_batch(rates, batch_size, shard_n)
+    # Grouping constraints the rate fraction alone cannot carry
+    # (reference: output_multiple/forecast, SURVEY.md §4.3): a block may
+    # declare ``in_multiple`` — its per-batch input count must divide by
+    # it (e.g. keep_m_in_n groups of n even though m/n reduces;
+    # interleave blocksize). Fold each into the batch LCM at the block's
+    # input rate: need (r.num * N) / r.den divisible by m.
+    extra = 1
+    for b in order:
+        m = int(getattr(b, "in_multiple", 1))
+        if m > 1 and g.in_edges(b):
+            r = _in_base_rate(g, b, rates)
+            need = (m * r.denominator) // math.gcd(r.numerator,
+                                                   m * r.denominator)
+            extra = extra * need // math.gcd(extra, need)
+    N = _choose_batch(rates, batch_size, shard_n, extra)
     n_in: dict[str, int] = {}
     n_out: dict[str, int] = {}
     for b in order:

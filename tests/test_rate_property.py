@@ -1,0 +1,96 @@
+"""Property-based check of the compiler's rate algebra (the machinery that
+replaces the reference's forecast/consume/produce dance, SURVEY.md §4.3):
+random chains of rate-changing blocks must (a) compile to integer per-edge
+batch counts, (b) produce exactly the item count the algebra predicts, and
+(c) be batch-split invariant — for ANY randomly drawn chain, not just the
+hand-picked ones in test_runtime_graph.py.
+"""
+
+from fractions import Fraction
+
+import numpy as np
+from hypothesis import assume, given, settings, strategies as st
+
+from newsched_tpu.blocks import general, streamops
+from newsched_tpu.runtime.compile import compile_flowgraph
+from newsched_tpu.runtime.graph import Flowgraph
+
+# A palette of scalar-stream rate-changing constructors (rf32):
+STAGES = [
+    (lambda: streamops.keep_one_in_n(2, dtype="rf32"), Fraction(1, 2)),
+    (lambda: streamops.keep_one_in_n(3, dtype="rf32"), Fraction(1, 3)),
+    (lambda: streamops.keep_m_in_n(2, 4, dtype="rf32"), Fraction(2, 4)),
+    (lambda: streamops.repeat(2, dtype="rf32"), Fraction(2)),
+    (lambda: streamops.repeat(3, dtype="rf32"), Fraction(3)),
+    (lambda: streamops.skiphead(7, dtype="rf32"), Fraction(1)),
+    (lambda: general.copy(dtype="rf32"), Fraction(1)),
+]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, len(STAGES) - 1), min_size=1, max_size=4))
+def test_random_rate_chain_exact(idxs):
+    rate = Fraction(1)
+    skip_items = 0
+    for i in idxs:
+        rate *= STAGES[i][1]
+        if i == 5:  # skiphead(7): drops 7 items at its own input rate
+            skip_items += 1
+
+    base = 1024
+    total_in = base * 2
+    x = np.arange(total_in, dtype=np.float32)
+
+    fg = Flowgraph(batch_size=base)
+    src = general.vector_source(x, dtype="rf32")
+    prev = src
+    blocks = []
+    for i in idxs:
+        blk = STAGES[i][0]()
+        blocks.append(blk)
+        fg.connect(prev, 0, blk, 0)
+        prev = blk
+    snk = general.vector_sink(dtype="rf32")
+    fg.connect(prev, 0, snk, 0)
+
+    cfg = compile_flowgraph(fg, batch_size=base)
+    # (a) the algebra assigned every block an integer per-batch count
+    assert all(isinstance(v, int) for v in cfg.n_out.values())
+    # (b) exact end-to-end output count: the compiler's bounds/lead
+    # arithmetic must agree with what actually lands in the sink.
+    predicted = cfg.sink_totals[snk.name]
+    assume(predicted is not None and predicted > 0)
+    fg.run()
+    out = snk.data()
+    assert out.shape[0] == predicted, (idxs, out.shape, predicted)
+    # sanity: prediction equals the SEQUENTIAL floor of each stage's rate
+    # (bounds floor per block — a fractional item cannot be emitted)
+    if skip_items == 0:
+        exp = total_in
+        for i in idxs:
+            r = STAGES[i][1]
+            exp = exp * r.numerator // r.denominator
+        assert predicted == exp, (idxs, predicted, exp)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.sampled_from([252, 504, 630, 840, 1260, 2520]))
+def test_batch_split_invariance_random_batch(batch):
+    """The same stream through the same chain at different batch sizes
+    yields identical samples (the compiler's LCM sizing + state threading
+    make batching unobservable)."""
+    x = np.arange(2520, dtype=np.float32)  # lcm-rich length
+
+    def run(b):
+        fg = Flowgraph(batch_size=b)
+        src = general.vector_source(x, dtype="rf32")
+        k = streamops.keep_m_in_n(2, 3, dtype="rf32")
+        r = streamops.repeat(2, dtype="rf32")
+        snk = general.vector_sink(dtype="rf32")
+        fg.connect(src, 0, k, 0)
+        fg.connect(k, 0, r, 0)
+        fg.connect(r, 0, snk, 0)
+        fg.run()
+        return snk.data()
+
+    np.testing.assert_array_equal(run(2520), run(batch))
