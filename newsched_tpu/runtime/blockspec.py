@@ -25,7 +25,8 @@ Descriptor shape (mirrors the reference's file_format 1):
     ports:
       - {domain: stream, id: in,  direction: input,  type: cf32}
       - {domain: stream, id: out, direction: output, type: cf32}
-    relative_rate: "1"          # optional Fraction string
+    relative_rate: "1"          # optional Fraction string or static expr
+    in_multiple: "n"            # optional input grouping constraint
     expr: "in_ * k"             # optional elementwise kernel
 """
 
@@ -119,6 +120,13 @@ def block_from_yaml(descriptor: str, work: Callable | None = None) -> type[Block
             self.relative_rate = Fraction(
                 eval(rate_str, {"Fraction": Fraction},
                      {k: Fraction(v) for k, v in statics.items()}))
+        im = spec.get("in_multiple")
+        if im is not None:
+            # grouping constraint for the compiler's batch sizing (same
+            # contract as handwritten blocks' in_multiple attribute);
+            # may reference static parameters.
+            self.in_multiple = (int(eval(im, {}, statics))
+                                if isinstance(im, str) else int(im))
         for p in ports:
             shape = p.get("shape", ()) or ()
             if isinstance(shape, (int, str)):

@@ -94,3 +94,48 @@ def test_batch_split_invariance_random_batch(batch):
         return snk.data()
 
     np.testing.assert_array_equal(run(2520), run(batch))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(0, len(STAGES) - 1), min_size=1, max_size=3),
+       st.integers(0, 1023))
+def test_tag_offset_remap_random_chain(idxs, tag_off):
+    """Tag offsets remap exactly through ANY random rate chain: the sink's
+    absolute offset equals the sequential floor-remap of each stage
+    (reference: decimator/interpolator tag placement convention)."""
+    assume(5 not in idxs)  # skiphead shifts offsets by its lead; chain-only
+    base = 1024
+    total_in = base * 2
+    x = np.arange(total_in, dtype=np.float32)
+
+    fg = Flowgraph(batch_size=base)
+    src = general.vector_source(x, dtype="rf32", tags=[(tag_off, "probe", 3.5)])
+    prev = src
+    for i in idxs:
+        blk = STAGES[i][0]()
+        fg.connect(prev, 0, blk, 0)
+        prev = blk
+    snk = general.vector_sink(dtype="rf32")
+    fg.connect(prev, 0, snk, 0)
+    cfg = compile_flowgraph(fg, batch_size=base)
+    total_out = cfg.sink_totals[snk.name]
+    assume(total_out is not None and total_out > 0)
+
+    # expected: per-batch relative remap (offset*num//den) applied per
+    # stage, with the batch boundary crossing handled by the runtime's
+    # absolute-offset reconstruction
+    N = cfg.batch_ref
+    b_idx, rel = divmod(tag_off, N)
+    for i in idxs:
+        r = STAGES[i][1]
+        rel = rel * r.numerator // r.denominator
+    expected = b_idx * cfg.n_in[snk.name] + rel
+
+    fg.run()
+    tags = snk.tags()
+    if expected < total_out:
+        assert [(t.offset, t.key) for t in tags] == [(expected, "probe")], \
+            (idxs, tag_off, tags, expected)
+        assert tags[0].value[0] == 3.5
+    else:
+        assert tags == [], (idxs, tag_off, tags, expected)

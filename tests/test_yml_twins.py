@@ -142,3 +142,24 @@ def test_vector_shape_descriptor_through_flowgraph():
     fg.connect(v2s, 0, snk, 0)
     fg.run()
     np.testing.assert_array_equal(snk.data(), x)
+
+
+def test_yml_keep_m_in_n_reducible_rate_through_flowgraph():
+    """The descriptor's in_multiple survives rate reduction: keep_m_in_n_y
+    with m/n = 2/4 (reduces to 1/2) must still get batches whose input
+    counts divide by 4 (the compiler's grouping-constraint fix, round 3)."""
+    x = _rand(1026 * 2, "cf32", seed=4)  # indivisible-by-4 request
+
+    def run(mk):
+        src = general.vector_source(x)
+        blk = mk()
+        snk = general.vector_sink()
+        fg = Flowgraph(batch_size=1026)  # compiler must round this up
+        fg.connect(src, 0, blk, 0)
+        fg.connect(blk, 0, snk, 0)
+        fg.run()
+        return snk.data()
+
+    got = run(lambda: yml_blocks.keep_m_in_n_y(m=2, n=4, offset=0))
+    ref = run(lambda: streamops.keep_m_in_n(2, 4))
+    np.testing.assert_array_equal(got, ref)
