@@ -139,3 +139,49 @@ def test_tag_offset_remap_random_chain(idxs, tag_off):
         assert tags[0].value[0] == 3.5
     else:
         assert tags == [], (idxs, tag_off, tags, expected)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, len(STAGES) - 1), st.integers(0, len(STAGES) - 1))
+def test_random_diamond_merge(i, j):
+    """Diamond graphs (src -> A -> add <- B <- src): equal-rate arms must
+    merge and produce the exact elementwise sum; mismatched-rate arms must
+    be rejected by the compiler's input-rate check with a clear error —
+    the reference's io_signature mismatch, caught statically here."""
+    from newsched_tpu.blocks import math as gmath
+
+    assume(5 not in (i, j))  # skiphead offsets the stream, not a rate issue
+    ra, rb = STAGES[i][1], STAGES[j][1]
+    x = np.arange(4096, dtype=np.float32)
+
+    fg = Flowgraph(batch_size=1024)
+    src = general.vector_source(x, dtype="rf32")
+    a, b = STAGES[i][0](), STAGES[j][0]()
+    add = gmath.add(2, dtype="rf32")
+    snk = general.vector_sink(dtype="rf32")
+    fg.connect(src, 0, a, 0)
+    fg.connect(src, 0, b, 0)
+    fg.connect(a, 0, add, 0)
+    fg.connect(b, 0, add, 1)
+    fg.connect(add, 0, snk, 0)
+
+    if ra != rb:
+        with np.testing.assert_raises(ValueError):
+            compile_flowgraph(fg, batch_size=1024)
+        return
+    fg.run()
+    got = snk.data()
+
+    def one_arm(k):
+        f2 = Flowgraph(batch_size=1024)
+        s2 = general.vector_source(x, dtype="rf32")
+        blk = STAGES[k][0]()
+        k2 = general.vector_sink(dtype="rf32")
+        f2.connect(s2, 0, blk, 0)
+        f2.connect(blk, 0, k2, 0)
+        f2.run()
+        return k2.data()
+
+    ref = one_arm(i) + one_arm(j)
+    np.testing.assert_array_equal(got, ref[: len(got)])
+    assert len(got) == len(ref)
