@@ -185,3 +185,32 @@ def test_random_diamond_merge(i, j):
     ref = one_arm(i) + one_arm(j)
     np.testing.assert_array_equal(got, ref[: len(got)])
     assert len(got) == len(ref)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.integers(0, len(STAGES) - 1), min_size=1, max_size=3))
+def test_random_chain_mesh_matches_single(idxs):
+    """ANY random rate chain compiled with fg.run(mesh=8) produces exactly
+    the single-device stream — the mesh lowering (sharding constraints +
+    SPMD partitioning) is correct for the whole block palette, not just
+    the hand-picked flagship graphs in test_mesh_graph.py."""
+    from newsched_tpu.parallel import make_mesh
+
+    x = np.arange(4096, dtype=np.float32)
+
+    def run(mesh):
+        fg = Flowgraph(batch_size=1024)
+        src = general.vector_source(x, dtype="rf32")
+        prev = src
+        for i in idxs:
+            blk = STAGES[i][0]()
+            fg.connect(prev, 0, blk, 0)
+            prev = blk
+        snk = general.vector_sink(dtype="rf32")
+        fg.connect(prev, 0, snk, 0)
+        fg.run(mesh=mesh)
+        return snk.data()
+
+    ref = run(None)
+    got = run(make_mesh(8))
+    np.testing.assert_array_equal(got, ref)
