@@ -17,8 +17,8 @@ from newsched_tpu.ops import fir as fir_ops, iir as iir_ops
 
 
 def _snr(ref, got):
-    ref = np.asarray(ref, np.float64).ravel()
-    err = ref - np.asarray(got, np.float64).ravel()
+    ref = np.asarray(ref).ravel()
+    err = ref - np.asarray(got).ravel().astype(ref.dtype)
     e = float(np.mean(np.abs(err) ** 2))
     p = float(np.mean(np.abs(ref) ** 2))
     return np.inf if e == 0 else 10 * np.log10(max(p, 1e-300) / e)
@@ -89,3 +89,48 @@ def test_iir_random_stable_filter_matches_scipy(npoles, nzeros, n_batches, seed)
     # reject ill-conditioned draws where f32 state recursion is hopeless
     assume(np.max(np.abs(ref)) < 1e3)
     assert _snr(ref, got) > 60, (npoles, nzeros, seed, _snr(ref, got))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    log2_m=st.integers(2, 5),
+    taps_per_arm=st.integers(2, 12),
+    n_batches=st.integers(1, 3),
+    seed=st.integers(0, 99),
+)
+def test_pfb_random_config_matches_numpy(log2_m, taps_per_arm, n_batches, seed):
+    """Random channelizer shapes vs a direct float64 numpy polyphase model,
+    streaming state exact across random batch splits."""
+    from newsched_tpu.ops import pfb as pfb_ops
+
+    M = 1 << log2_m
+    rng = np.random.default_rng(seed)
+    proto = rng.standard_normal(M * taps_per_arm).astype(np.float32) * 0.2
+    arm = pfb_ops.pfb_arm_taps(proto, M)
+    L = arm.shape[1]
+    B = 64 * M
+    x = (rng.standard_normal(B * n_batches)
+         + 1j * rng.standard_normal(B * n_batches)).astype(np.complex64)
+
+    st_ = pfb_ops.pfb_init_state(arm.size, dtype=jnp.complex64)
+    outs = []
+    for k in range(n_batches):
+        st_, Y = pfb_ops.pfb_channelize(jnp.asarray(arm), st_,
+                                        jnp.asarray(x[k * B:(k + 1) * B]),
+                                        method="sum")
+        outs.append(np.asarray(Y))
+    got = np.concatenate(outs, axis=0)
+
+    # float64 reference (same derivation as bench.numpy_reference)
+    arm64 = pfb_ops.pfb_arm_taps(proto.astype(np.float64), M)
+    n_out = len(x) // M
+    xfull = np.concatenate([np.zeros(M * L - 1, np.complex128),
+                            x.astype(np.complex128)])
+    need = L - 1 + n_out
+    V = xfull[: need * M].reshape(need, M)[:, ::-1].T
+    filt = np.empty((M, n_out), np.complex128)
+    for pp in range(M):
+        filt[pp] = np.correlate(V[pp], arm64[pp][::-1], mode="valid")[:n_out]
+    ref = (M * np.fft.ifft(filt, axis=0)).T
+    assert got.shape == ref.shape
+    assert _snr(ref, got) > 80, (M, taps_per_arm, _snr(ref, got))
