@@ -96,19 +96,30 @@ def audio_toeplitz(ataps: np.ndarray, tile: int, decim: int) -> np.ndarray:
     return H
 
 
-def _mm(a, b, precision=jax.lax.Precision.HIGHEST):
+def _mm(a, b, precision=jax.lax.Precision.HIGHEST, b_split=None,
+        a_split=None):
     """Matmul with selectable accuracy/speed trade.
 
     Mosaic lowers only HIGHEST (6 bf16 MXU passes) and DEFAULT (1 pass);
     "split3" is a manual 3-pass HIGH equivalent: split both operands into
     bf16 hi + bf16 lo residual and drop the lo@lo term (~2^-16 relative
     error — ~96 dB, vs ~50 dB for 1-pass bf16 and ~140 dB for HIGHEST).
+    ``a_split``/``b_split`` = (hi, lo) bf16 pre-split of a CONSTANT
+    operand: skips the per-call VPU split (the kernel re-splits its
+    constants every grid tile otherwise — measured win, see BASELINE
+    round-3 addendum).
     """
     if precision == "split3":
-        ahi = a.astype(jnp.bfloat16)
-        alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
-        bhi = b.astype(jnp.bfloat16)
-        blo = (b - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        if a_split is not None:
+            ahi, alo = a_split
+        else:
+            ahi = a.astype(jnp.bfloat16)
+            alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+        if b_split is not None:
+            bhi, blo = b_split
+        else:
+            bhi = b.astype(jnp.bfloat16)
+            blo = (b - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
 
         def d(p, q):
             return jax.lax.dot_general(
@@ -122,6 +133,14 @@ def _mm(a, b, precision=jax.lax.Precision.HIGHEST):
         precision=precision,
         preferred_element_type=jnp.float32,
     )
+
+
+def _presplit(m: np.ndarray):
+    """Host-side bf16 hi/lo split of a constant matrix (bit-identical to
+    the in-kernel split: hi = bf16(x), lo = bf16(x - f32(hi)))."""
+    hi = jnp.asarray(m, jnp.float32).astype(jnp.bfloat16)
+    lo = (jnp.asarray(m, jnp.float32) - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 def _issue_window(local_hbm, halo_hbm, win, sem_l, sem_h, j, dst_slot, *,
@@ -195,6 +214,7 @@ def _wait_window(local_hbm, halo_hbm, win, sem_l, sem_h, i, slot, *,
 
 
 def _kernel(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
+            whi_ref, wlo_ref, hhi_ref, hlo_ref,
             aud_ref, prev_out_ref, tail_out_ref,
             win, carry_prev, carry_tail, sem_l, sem_h, *,
             T: int, L: int, H8: int, M: int, A: int, gain: float, s: int,
@@ -239,8 +259,9 @@ def _kernel(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
     acc = c_ref[0][None, :] * cur[off: off + T, :]
     for q in range(1, L):
         acc = acc + c_ref[q][None, :] * cur[off + q: off + q + T, :]
-    # phase combine (one real matmul on the planes layout)
-    Y = _mm(acc, w_ref[:, :], precision)            # (T, 2M)
+    # phase combine (one real matmul on the planes layout; W pre-split)
+    Y = _mm(acc, w_ref[:, :], precision,
+            b_split=(whi_ref[:, :], wlo_ref[:, :]))  # (T, 2M)
     # quadrature demod against the previous row
     Aprev = jnp.concatenate([carry_prev[:, :], Y[:-1, :]], axis=0)
     Yr64 = pltpu.roll(Y, M, 1)
@@ -256,7 +277,8 @@ def _kernel(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
         * jnp.float32(gain)                           # (T, 2M) dup halves
     # audio FIR + decimation (Toeplitz matmul over [tail; aud])
     audfull = jnp.concatenate([carry_tail[:, :], aud], axis=0)  # (A-1+T, 2M)
-    aud_ref[:, :] = _mm(h_ref[:, :], audfull, precision)  # (T//decim, 2M)
+    aud_ref[:, :] = _mm(h_ref[:, :], audfull, precision,
+                        a_split=(hhi_ref[:, :], hlo_ref[:, :]))  # (T//decim, 2M)
     # carry + final-state outputs
     carry_prev[:, :] = Y[T - 1:T, :]
     carry_tail[:, :] = aud[T - (A - 1):, :]
@@ -268,7 +290,8 @@ def _kernel(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
 
 
 def _kernel_pipe(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref,
-                 h_ref, aud_ref, prev_out_ref, tail_out_ref,
+                 h_ref, whi_ref, wlo_ref, hhi_ref, hlo_ref,
+                 aud_ref, prev_out_ref, tail_out_ref,
                  win, carry_prev, carry_tail, yprev, sem_l, sem_h, *,
                  T: int, L: int, H8: int, M: int, A: int, gain: float,
                  s: int, NT: int, precision=jax.lax.Precision.HIGHEST):
@@ -305,7 +328,8 @@ def _kernel_pipe(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref,
         acc = c_ref[0][None, :] * cur[off: off + T, :]
         for q in range(1, L):
             acc = acc + c_ref[q][None, :] * cur[off + q: off + q + T, :]
-        Ynew = _mm(acc, w_ref[:, :], precision)      # (T, 2M), MXU
+        Ynew = _mm(acc, w_ref[:, :], precision,
+                   b_split=(whi_ref[:, :], wlo_ref[:, :]))  # (T, 2M), MXU
 
         # ---- stage B (tiles [1, NT]): demod -> audio of tile i-1 --------
         # Emitted BETWEEN the DFT issue and the yprev overwrite: the demod
@@ -313,20 +337,20 @@ def _kernel_pipe(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref,
         # the VPU runs it.
         @pl.when(i > 0)
         def _():
-            _stage_b(yprev, carry_prev, carry_tail, h_ref, aud_ref,
-                     T=T, M=M, A=A, gain=gain, precision=precision)
+            _stage_b(yprev, carry_prev, carry_tail, h_ref, hhi_ref, hlo_ref,
+                     aud_ref, T=T, M=M, A=A, gain=gain, precision=precision)
         yprev[:, :] = Ynew
 
     @pl.when(i == NT)
     def _():
-        _stage_b(yprev, carry_prev, carry_tail, h_ref, aud_ref,
-                 T=T, M=M, A=A, gain=gain, precision=precision)
+        _stage_b(yprev, carry_prev, carry_tail, h_ref, hhi_ref, hlo_ref,
+                 aud_ref, T=T, M=M, A=A, gain=gain, precision=precision)
         prev_out_ref[:, :] = carry_prev[:, :]
         tail_out_ref[:, :] = carry_tail[:, :]
 
 
-def _stage_b(yprev, carry_prev, carry_tail, h_ref, aud_ref, *,
-             T, M, A, gain, precision):
+def _stage_b(yprev, carry_prev, carry_tail, h_ref, hhi_ref, hlo_ref,
+             aud_ref, *, T, M, A, gain, precision):
     Y = yprev[:, :]
     Aprev = jnp.concatenate([carry_prev[:, :], Y[:-1, :]], axis=0)
     Yr64 = pltpu.roll(Y, M, 1)
@@ -339,7 +363,8 @@ def _stage_b(yprev, carry_prev, carry_tail, h_ref, aud_ref, *,
     aud = atan2(PI, PR, deg=5 if precision == "split3" else 9) \
         * jnp.float32(gain)
     audfull = jnp.concatenate([carry_tail[:, :], aud], axis=0)
-    aud_ref[:, :] = _mm(h_ref[:, :], audfull, precision)
+    aud_ref[:, :] = _mm(h_ref[:, :], audfull, precision,
+                        a_split=(hhi_ref[:, :], hlo_ref[:, :]))
     carry_prev[:, :] = Y[T - 1:T, :]
     carry_tail[:, :] = aud[T - (A - 1):, :]
 
@@ -412,6 +437,8 @@ def fm_chain_step_planes(vb: jax.Array, halo: jax.Array, prev0: jax.Array,
     c2 = planes_taps(arm_c)
     W2 = planes_dft_matrix(M)
     Haud = audio_toeplitz(ataps, tile, decim)
+    Whi, Wlo = _presplit(W2)
+    Hhi, Hlo = _presplit(Haud)
     NT = n_ext // tile
     scratch = [
         pltpu.VMEM((2, tile + H8, 2 * M), jnp.float32),  # 2x DMA window
@@ -446,6 +473,10 @@ def fm_chain_step_planes(vb: jax.Array, halo: jax.Array, prev0: jax.Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # fold taps
             pl.BlockSpec(memory_space=pltpu.VMEM),   # DFT matrix
             pl.BlockSpec(memory_space=pltpu.VMEM),   # audio Toeplitz
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # DFT bf16 hi
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # DFT bf16 lo
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # Toeplitz bf16 hi
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # Toeplitz bf16 lo
         ],
         out_specs=(
             pl.BlockSpec((tile // decim, 2 * M), aud_map,
@@ -467,7 +498,7 @@ def fm_chain_step_planes(vb: jax.Array, halo: jax.Array, prev0: jax.Array,
         ),
         interpret=interpret,
     )(vb, halo, prev0, tail0, jnp.asarray(c2), jnp.asarray(W2),
-      jnp.asarray(Haud))
+      jnp.asarray(Haud), Whi, Wlo, Hhi, Hlo)
     return aud[warm // decim:, :M], prev, tail
 
 
