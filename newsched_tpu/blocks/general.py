@@ -91,7 +91,15 @@ class null_sink(Block):
             c = jnp.sum(x.astype(jnp.float32))
         return state, c.astype(jnp.float32)
 
+    def combine_collected(self, acc, collected_host):
+        """Fold per-batch checksums incrementally so unbounded runs hold
+        O(1) host memory for this sink (runner round-4 memory bound)."""
+        s = float(np.sum([np.sum(np.asarray(c)) for c in collected_host]))
+        return s if acc is None else acc + s
+
     def finalize(self, collected, total):
+        # `collected` is either the stacked per-batch checksums (bounded
+        # runs) or the folded float from combine_collected (unbounded).
         self.checksum = float(np.sum(collected))
 
 
@@ -210,9 +218,16 @@ class vector_sink(Block):
 
     collects_tags = True
 
-    def __init__(self, dtype="cf32", vlen=(), name=None):
+    def __init__(self, dtype="cf32", vlen=(), name=None, capacity: int | None = None):
         super().__init__(name)
         self.add_input("in", dtype, vlen)
+        # Ring collection: under an UNBOUNDED stream (start()/stop()) the
+        # runner retains only enough batches to cover the last `capacity`
+        # items and data() returns that trailing window (tag offsets are
+        # then relative to the window start). Without a capacity, the
+        # runner rejects this sink on unbounded streams — the reference
+        # never buffers unboundedly anywhere (SURVEY.md §3.2).
+        self.collect_capacity = None if capacity is None else int(capacity)
         self._data: np.ndarray | None = None
         self._tags: list = []
 
@@ -224,7 +239,10 @@ class vector_sink(Block):
             self._tags = collected["tags"]
             collected = collected["data"]
         arr = np.asarray(collected)
-        self._data = arr[:total] if total is not None else arr
+        arr = arr[:total] if total is not None else arr
+        if self.collect_capacity is not None and total is None:
+            arr = arr[-self.collect_capacity:]
+        self._data = arr
 
     def data(self) -> np.ndarray:
         if self._data is None:

@@ -101,21 +101,32 @@ class channel_select(Block):
 
 
 class fm_channelizer_fused(Block):
-    """The flagship chain as ONE block backed by the full-chain Pallas
-    mega-kernel (ops/pallas/fm_chain.py): cf32 scalar stream in ->
-    rf32[(M,)] audio vector stream at rate 1/(M*decim).
+    """DEPRECATED round-2 variant — use ``cplx_to_planes ->
+    fm_channelizer_fused_planes`` instead (``models.fm_channelizer(
+    fused=True)`` builds exactly that for any cf32 source). This block
+    keeps the round-2 cf32 interface: it pays a per-batch planes-layout
+    prep pass inside work() and has NO ``work_sharded`` hook, so it
+    cannot lower itself under ``fg.run(mesh=...)``. It remains only so
+    round-2-era graphs keep running (one DeprecationWarning per
+    construction).
 
-    Equivalent to pfb_channelizer -> vector_quad_demod -> vector_fir but
-    ~45% faster on a v5e chip (BASELINE.md); demonstrates hosting a
-    hand-fused kernel behind the ordinary block interface. Requires a TPU
-    backend unless interpret=True (CI/tests), and a flowgraph batch_size
-    of at least nchans * (len(audio_taps) - 1) so the kernel's audio-tail
-    carry fits in one grid tile.
+    cf32 scalar stream in -> rf32[(M,)] audio vector stream at rate
+    1/(M*decim), backed by the same mega-kernel (ops/pallas/fm_chain.py).
+    Requires a TPU backend unless interpret=True, and a flowgraph
+    batch_size of at least nchans * (len(audio_taps) - 1).
     """
 
     def __init__(self, nchans: int, taps, audio_taps, audio_decim: int = 8,
                  gain: float = 1.0, taps_per_arm: int | None = None,
                  interpret: bool = False, name=None):
+        import warnings
+
+        warnings.warn(
+            "fm_channelizer_fused (cf32 input) is deprecated: use "
+            "cplx_to_planes -> fm_channelizer_fused_planes (or "
+            "models.fm_channelizer(fused=True)) — no prep pass, and it "
+            "shards under fg.run(mesh=...)", DeprecationWarning,
+            stacklevel=2)
         super().__init__(name)
         from newsched_tpu.ops import firdes, pfb as pfb_ops
 

@@ -493,7 +493,8 @@ def fm_chain_step_planes(vb: jax.Array, halo: jax.Array, prev0: jax.Array,
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_ext * 2 * M * (L + 2 * M) + 2 * n_aud * 2 * M * (A - 1 + tile),
-            bytes_accessed=(n_ext + warm + H8) * 2 * M * 4 + n_aud * 2 * M * 4,
+            # reads: local n_loc rows + halo (warm + H8) rows = n_ext + H8
+            bytes_accessed=(n_ext + H8) * 2 * M * 4 + n_aud * 2 * M * 4,
             transcendentals=n_ext * 2 * M,  # atan2 polynomial
         ),
         interpret=interpret,

@@ -54,6 +54,64 @@ _DTYPES = {
 }
 
 
+def _eval_static(expr: str, statics: dict, frac: bool = False):
+    """Evaluate a descriptor sizing expression over static parameters with a
+    restricted AST walk — names, integer literals, + - * / // % ** and
+    comparisons/boolean ops only (no calls, no attributes, no subscripts).
+    Descriptor `expr:` work kernels remain trusted code like the reference's
+    generated C++, but the SIZING fields (relative_rate, in_multiple,
+    validate) are plain arithmetic and get no eval() surface."""
+    import ast
+
+    env = {k: (Fraction(v) if frac else int(v)) for k, v in statics.items()}
+
+    def walk(node):
+        if isinstance(node, ast.Expression):
+            return walk(node.body)
+        if isinstance(node, ast.Constant) and isinstance(node.value, (int, bool)):
+            return Fraction(node.value) if frac and not isinstance(node.value, bool) \
+                else node.value
+        if isinstance(node, ast.Name):
+            if node.id not in env:
+                raise ValueError(f"unknown static parameter {node.id!r} in "
+                                 f"descriptor expression {expr!r}")
+            return env[node.id]
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, (ast.USub, ast.Not)):
+            v = walk(node.operand)
+            return -v if isinstance(node.op, ast.USub) else not v
+        if isinstance(node, ast.BinOp):
+            a, b = walk(node.left), walk(node.right)
+            ops = {ast.Add: lambda: a + b, ast.Sub: lambda: a - b,
+                   ast.Mult: lambda: a * b, ast.FloorDiv: lambda: a // b,
+                   ast.Mod: lambda: a % b, ast.Pow: lambda: a ** b,
+                   ast.Div: lambda: Fraction(a) / b if frac else a / b}
+            fn = ops.get(type(node.op))
+            if fn is None:
+                raise ValueError(f"operator {type(node.op).__name__} not allowed "
+                                 f"in descriptor expression {expr!r}")
+            return fn()
+        if isinstance(node, ast.Compare):
+            left = walk(node.left)
+            for op, comp in zip(node.ops, node.comparators):
+                right = walk(comp)
+                ok = {ast.Lt: left < right, ast.LtE: left <= right,
+                      ast.Gt: left > right, ast.GtE: left >= right,
+                      ast.Eq: left == right, ast.NotEq: left != right}.get(type(op))
+                if ok is None:
+                    raise ValueError(f"comparison {type(op).__name__} not allowed")
+                if not ok:
+                    return False
+                left = right
+            return True
+        if isinstance(node, ast.BoolOp):
+            vals = [walk(v) for v in node.values]
+            return all(vals) if isinstance(node.op, ast.And) else any(vals)
+        raise ValueError(f"syntax {type(node).__name__} not allowed in "
+                         f"descriptor expression {expr!r}")
+
+    return walk(ast.parse(expr, mode="eval"))
+
+
 def _make_expr_work(expr: str, out_port: str):
     code = compile(expr, "<block expr>", "eval")
 
@@ -116,16 +174,20 @@ def block_from_yaml(descriptor: str, work: Callable | None = None) -> type[Block
                 statics[prm["id"]] = int(v)
                 setattr(self, prm["id"], statics[prm["id"]])
         self._statics = statics
+        val = spec.get("validate")
+        if val is not None and not _eval_static(str(val), statics):
+            raise ValueError(
+                f"{name}: static parameters {statics} violate the "
+                f"descriptor constraint {val!r}")
         if rate_is_expr:
-            self.relative_rate = Fraction(
-                eval(rate_str, {"Fraction": Fraction},
-                     {k: Fraction(v) for k, v in statics.items()}))
+            self.relative_rate = Fraction(_eval_static(rate_str, statics,
+                                                       frac=True))
         im = spec.get("in_multiple")
         if im is not None:
             # grouping constraint for the compiler's batch sizing (same
             # contract as handwritten blocks' in_multiple attribute);
             # may reference static parameters.
-            self.in_multiple = (int(eval(im, {}, statics))
+            self.in_multiple = (int(_eval_static(im, statics))
                                 if isinstance(im, str) else int(im))
         for p in ports:
             shape = p.get("shape", ()) or ()

@@ -60,8 +60,12 @@ class CompiledFlowgraph:
         out: dict[str, Any] = {}
         axis = self.time_axis or (self.mesh.axis_names[0]
                                   if self.mesh is not None else None)
+        # Gate on the TIME axis size — the same quantity build_step uses to
+        # select work_sharded — so a multi-axis mesh whose time axis is 1
+        # never pairs a mesh-shaped state with the unsharded work().
+        n_time = self.mesh.shape[axis] if self.mesh is not None else 1
         for b in self.order:
-            if self._mesh_n() > 1 and hasattr(b, "init_state_sharded"):
+            if n_time > 1 and hasattr(b, "init_state_sharded"):
                 out[b.name] = b.init_state_sharded(
                     self.n_in[b.name], self.n_out[b.name], self.mesh, axis)
             else:

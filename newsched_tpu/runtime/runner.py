@@ -220,7 +220,7 @@ class Runner:
                   for i, b in enumerate(self.cfg.order)}
         return states, int(restored["batch_idx"])
 
-    def _run_loop(self, n_batches: int) -> None:
+    def _run_loop(self, n_batches: int, unbounded: bool = False) -> None:
         params = self._params_enc()
         start_batch = 0
         if self.resume_from:
@@ -254,6 +254,8 @@ class Runner:
                         pushers[name].host_push(cplx.decode(jax.device_get(v)))
                     else:
                         per_sink.setdefault(name, []).append(v)
+                if unbounded:
+                    self._bound_collections(per_sink, per_batch=True)
                 items_done += self.cfg.batch_ref
                 if self.checkpoint_path and self.checkpoint_every and \
                         (i + 1) % self.checkpoint_every == 0:
@@ -290,6 +292,67 @@ class Runner:
         if dt > 0:
             time.sleep(dt)
 
+    # -- unbounded-run memory bounds --------------------------------------
+    # The reference never buffers unboundedly anywhere (SURVEY.md §3.2
+    # backpressure); here a live stream's collecting sinks must either
+    # fold incrementally (combine_collected), keep a declared trailing
+    # window (collect_capacity), or be rejected before the run starts.
+    def _check_unbounded_sinks(self) -> None:
+        for name in self.cfg.sink_totals:
+            b = next(blk for blk in self.cfg.order if blk.name == name)
+            if (hasattr(b, "host_push") or hasattr(b, "combine_collected")
+                    or getattr(b, "collect_capacity", None) is not None):
+                continue
+            raise ValueError(
+                f"sink {name!r} collects an UNBOUNDED stream into host "
+                f"memory: give it a capacity (vector_sink(capacity=...)), "
+                f"use a streaming sink (zmq/file/audio), or bound the "
+                f"stream (head block / total_items)")
+
+    def _bound_collections(self, per_sink: dict[str, list],
+                           per_batch: bool) -> None:
+        """Fold/trim live collections so host memory stays bounded.
+
+        per_batch=True: entries are per-batch DEVICE values (loop mode) —
+        combiners fold every 256 batches (device_get of already-ready
+        values, off the dispatch critical path); rings drop leading
+        batches beyond the capacity window. per_batch=False: entries are
+        host chunk pytrees from _run_unbounded_chunked.
+        """
+        acc = getattr(self, "_collect_acc", None)
+        if acc is None:
+            acc = self._collect_acc = {}
+            self._dropped_items: dict[str, int] = {}
+        for name, lst in per_sink.items():
+            if not lst:
+                continue
+            b = next(blk for blk in self.cfg.order if blk.name == name)
+            if hasattr(b, "combine_collected"):
+                if not per_batch or len(lst) >= 256:
+                    host = [cplx.decode(h) for h in jax.device_get(lst)]
+                    acc[name] = b.combine_collected(acc.get(name), host)
+                    lst.clear()
+                continue
+            cap = getattr(b, "collect_capacity", None)
+            if cap is None:
+                continue
+
+            def n_items(entry):
+                if per_batch:
+                    return self.cfg.n_in[name]
+                leaf = next(x for x in jax.tree_util.tree_leaves(
+                    entry, is_leaf=_is_tagbatch) if not _is_tagbatch(x))
+                return int(np.shape(leaf)[0])
+
+            total = sum(n_items(e) for e in lst)
+            while len(lst) > 1 and total - n_items(lst[0]) >= cap:
+                total -= n_items(lst[0])
+                self._dropped_items[name] = (self._dropped_items.get(name, 0)
+                                             + n_items(lst[0]))
+                lst.pop(0)
+            self.stats["retained_items"] = max(
+                self.stats.get("retained_items", 0), total)
+
     # -- delivery --------------------------------------------------------
     def _trim(self, b, collected):
         """Drop leading garbage and the final partial batch's padding for
@@ -297,6 +360,9 @@ class Runner:
         if not getattr(b, "collect_is_stream", True):
             return collected
         lead = self.cfg.sink_leads.get(b.name, 0)
+        # Ring-trimmed live collections already dropped their leading
+        # batches (and with them any leading garbage items).
+        lead = max(0, lead - getattr(self, "_dropped_items", {}).get(b.name, 0))
         total = self.cfg.sink_totals.get(b.name)
         end = None if total is None else lead + total
         return jax.tree_util.tree_map(lambda a: a[lead:end], collected)
@@ -308,7 +374,8 @@ class Runner:
         from newsched_tpu.runtime import tags as tags_mod
 
         total = self.cfg.sink_totals.get(b.name)
-        lead = self.cfg.sink_leads.get(b.name, 0)
+        lead = max(0, self.cfg.sink_leads.get(b.name, 0)
+                   - getattr(self, "_dropped_items", {}).get(b.name, 0))
         if isinstance(collected_host, dict) and "tags" in collected_host \
                 and getattr(b, "collects_tags", False):
             data = self._trim(b, cplx.decode(collected_host["data"]))
@@ -336,6 +403,16 @@ class Runner:
                 self._finalize_sink(b, _unstack_to_host(host[b.name]))
 
     def _deliver_batches(self, per_sink: dict[str, list]) -> None:
+        # Unbounded loop-mode combiners: fold any staged tail into the
+        # accumulator and finalize from it directly.
+        acc = getattr(self, "_collect_acc", {})
+        for name in list(acc):
+            b = next(blk for blk in self.cfg.order if blk.name == name)
+            staged = per_sink.pop(name, [])
+            if staged:
+                host_staged = [cplx.decode(h) for h in jax.device_get(staged)]
+                acc[name] = b.combine_collected(acc[name], host_staged)
+            b.finalize(acc[name], None)
         host = jax.device_get(per_sink)
         drops = host.pop("__tag_drops__", None)
         if drops:
@@ -362,11 +439,13 @@ class Runner:
                 if n is None:
                     # Unbounded: device-pure graphs run as repeated jitted
                     # scan chunks (zero per-batch host round trips); host-IO
-                    # graphs fall back to the per-batch loop.
+                    # graphs fall back to the per-batch loop. Either way the
+                    # sinks must hold bounded host memory — checked up front.
+                    self._check_unbounded_sinks()
                     if self._can_scan():
                         self._run_unbounded_chunked()
                     else:
-                        self._run_loop(1 << 62)  # until stop()
+                        self._run_loop(1 << 62, unbounded=True)  # until stop()
                 else:
                     self._run_loop(n)
             finally:
@@ -409,11 +488,15 @@ class Runner:
             host = jax.device_get(stacked)
             for name, v in host.items():
                 per_sink[name].append(_unstack_to_host(v))
+            self._bound_collections(per_sink, per_batch=False)
             self.stats["batches"] += chunk
             self.stats["items"] += chunk * self.cfg.batch_ref
         jax.block_until_ready(states)
+        acc = getattr(self, "_collect_acc", {})
         for b in self.cfg.order:
-            if b.name in per_sink and per_sink[b.name]:
+            if b.name in acc:
+                b.finalize(acc[b.name], None)
+            elif b.name in per_sink and per_sink[b.name]:
                 self._finalize_sink(b, _concat_chunks(per_sink[b.name]))
 
     def wait(self) -> None:

@@ -475,3 +475,72 @@ def test_grc_export_whole_library(tmp_path):
     for f in files[:10]:
         doc = yaml.safe_load(f.read_text())
         assert "id" in doc and "templates" in doc
+
+
+def test_unbounded_collector_without_capacity_rejected():
+    """Round-4 memory bound: a capacity-less vector_sink on an unbounded
+    stream is rejected at start, not allowed to OOM the host."""
+    fg = Flowgraph(batch_size=1024)
+    src = general.null_source(dtype="rf32")
+    snk = general.vector_sink(dtype="rf32")
+    fg.connect(src, 0, snk, 0)
+    runner = fg.start()
+    with pytest.raises(RuntimeError, match="UNBOUNDED"):
+        runner.wait()
+    fg._runner = None
+
+
+def test_unbounded_ring_capacity_soak_chunked():
+    """vector_sink(capacity=K) on an unbounded device-pure stream keeps a
+    bounded trailing window: host retention never exceeds K + one chunk of
+    batches, and data() is exactly the last K items of the stream."""
+    import time
+
+    N = 3000  # stream period (deliberately not a batch multiple)
+    cap = 512
+    fg = Flowgraph(batch_size=256)
+    src = general.vector_source(np.arange(N, dtype=np.float32), repeat=True)
+    snk = general.vector_sink(dtype="rf32", capacity=cap)
+    fg.connect(src, 0, snk, 0)
+    runner = fg.start()
+    time.sleep(1.5)
+    fg.stop()
+    runner.wait()
+    fg._runner = None
+    items = runner.stats["items"]
+    assert items >= 8 * 256, "soak ran too few batches to mean anything"
+    # bounded retention: window + at most one 8-batch chunk of slack
+    assert runner.stats["retained_items"] <= cap + 8 * 256
+    got = snk.data()
+    assert len(got) == cap
+    expect = (np.arange(items - cap, items) % N).astype(np.float32)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_unbounded_ring_capacity_soak_loop_mode():
+    """Same bound through the per-batch loop path (host-IO graphs): a
+    throttle forces loop mode; the ring trims per batch."""
+    import time
+
+    N = 3000
+    cap = 300
+    fg = Flowgraph(batch_size=128)
+    src = general.vector_source(np.arange(N, dtype=np.float32), repeat=True)
+    thr = general.throttle(1e12, dtype="rf32")  # loop mode, no real pacing
+    snk = general.vector_sink(dtype="rf32", capacity=cap)
+    fg.connect(src, 0, thr, 0)
+    fg.connect(thr, 0, snk, 0)
+    runner = fg.start()
+    time.sleep(1.5)
+    fg.stop()
+    runner.wait()
+    fg._runner = None
+    items = runner.stats.get("items") or 0
+    assert runner.stats["retained_items"] <= cap + 2 * 128
+    got = snk.data()
+    # loop mode counts items as batches complete; the sink saw exactly the
+    # batches that ran — reconstruct from the collected length instead.
+    assert cap - 128 <= len(got) <= cap
+    # The data must be a contiguous window of the periodic ramp.
+    d = np.diff(got.astype(np.int64)) % N
+    assert np.all(d == 1)

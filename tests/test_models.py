@@ -15,7 +15,32 @@ def _fm_modulate(msg: np.ndarray, dev_per_fs: float) -> np.ndarray:
     return np.exp(1j * phase).astype(np.complex64)
 
 
-def test_config0_fir_chain_runs():
+def test_config0_fir_chain_snr_10M():
+    """Config #0's gate AS WRITTEN in BASELINE.md: 10M samples through
+    sig_source -> 128-tap FIR -> head, SNR-gated vs scipy.lfilter float64
+    (round-4 VERDICT item #6 — the previous test asserted finiteness only,
+    at 100k samples)."""
+    n = 10_000_000
+    fg, parts = fir_chain(n_samples=n, batch_size=1 << 20, sink="vector")
+    fg.run()
+    y = parts["sink"].data()
+    assert y.shape == (n,)
+    # Golden: float64 tone at the source's EXACT fxpt-NCO frequency (the
+    # uint32 phase accumulator quantizes freq to a 2^-32 turn fraction;
+    # the ideal-real-frequency tone drifts ~0.007 rad by sample 10M) +
+    # scipy.lfilter float64.
+    from newsched_tpu.ops import nco
+
+    fs, freq = 1e6, 123_456.0
+    dphase = np.uint64(nco.freq_to_dphase(freq, fs))
+    acc = (np.arange(n, dtype=np.uint64) * dphase) & np.uint64(0xFFFFFFFF)
+    x = np.exp(2j * np.pi * (acc.astype(np.float64) / 2.0 ** 32))
+    ref = sig.lfilter(np.asarray(parts["taps"], np.float64), 1.0, x)
+    assert snr_db(ref, y.astype(np.complex128)) > 60
+
+
+def test_config0_fir_chain_runs_small():
+    """Fast smoke variant of config #0 (kept for quick iteration)."""
     fg, parts = fir_chain(n_samples=100_000, batch_size=16384, sink="vector")
     fg.run()
     y = parts["sink"].data()

@@ -183,8 +183,12 @@ def test_fused_block_in_graph_matches_staged_blocks():
     def fused():
         fg = Flowgraph(batch_size=2048)
         src = general.vector_source(x)
-        blk = vector_dsp.fm_channelizer_fused(M, taps, ataps, audio_decim=decim,
-                                              gain=0.9, interpret=True)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)  # legacy twin
+            blk = vector_dsp.fm_channelizer_fused(M, taps, ataps,
+                                                  audio_decim=decim,
+                                                  gain=0.9, interpret=True)
         snk = general.vector_sink(dtype="rf32", vlen=(M,))
         fg.connect(src, 0, blk, 0)
         fg.connect(blk, 0, snk, 0)

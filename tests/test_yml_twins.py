@@ -9,6 +9,7 @@ references — through the flowgraph rate algebra, not just work().
 """
 
 import numpy as np
+from fractions import Fraction
 import pytest
 
 import jax.numpy as jnp
@@ -163,3 +164,31 @@ def test_yml_keep_m_in_n_reducible_rate_through_flowgraph():
     got = run(lambda: yml_blocks.keep_m_in_n_y(m=2, n=4, offset=0))
     ref = run(lambda: streamops.keep_m_in_n(2, 4))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_yml_static_validation_rejects_bad_params():
+    """Descriptor `validate:` constraint (round 4, ADVICE fix): out-of-range
+    statics fail at construction with a clear error, not mid-trace."""
+    import pytest
+
+    with pytest.raises(ValueError, match="constraint"):
+        yml_blocks.keep_m_in_n_y(m=3, n=8, offset=7)  # offset+m > n
+    with pytest.raises(ValueError, match="constraint"):
+        yml_blocks.keep_m_in_n_y(m=0, n=8)
+    yml_blocks.keep_m_in_n_y(m=3, n=8, offset=5)  # boundary: ok
+
+
+def test_yml_sizing_expressions_have_no_eval_surface():
+    """relative_rate / in_multiple / validate are parsed with a restricted
+    AST walk — names+arithmetic only; calls/attributes/subscripts raise."""
+    import pytest
+
+    from newsched_tpu.runtime.blockspec import _eval_static
+
+    assert _eval_static("m/n", {"m": 3, "n": 8}, frac=True) == Fraction(3, 8)
+    assert _eval_static("n", {"n": 5}) == 5
+    assert _eval_static("0 < m and m <= n", {"m": 2, "n": 4}) is True
+    for evil in ("__import__('os')", "m.__class__", "(1,2)[0]",
+                 "[x for x in (1,)]", "open('/etc/passwd')"):
+        with pytest.raises(ValueError):
+            _eval_static(evil, {"m": 1, "n": 2})
