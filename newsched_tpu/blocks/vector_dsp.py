@@ -203,23 +203,134 @@ class cplx_to_planes(Block):
 class noise_planes_source(Block):
     """Gaussian noise emitted directly in planes-rows format — the
     no-prep-pass producer for the fused FM chain (each lane is an i.i.d.
-    draw, so the M-1-sample skew of the row convention is immaterial)."""
+    draw, so the M-1-sample skew of the row convention is immaterial).
+
+    method="pallas" (default on a TPU backend) generates with the chip's
+    hardware PRNG + Irwin-Hall transform (ops/pallas/noise.py): measured
+    40 us/flagship-batch vs 147 us for XLA threefry+erfinv — the round-3
+    live-vs-replay gap was mostly this source (BASELINE.md round-4 live
+    ledger). The pallas stream is deterministic in (seed, absolute stream
+    position) with 64-row group granularity, so the gen-mode mega-kernel
+    (fm_noise_channelizer_source) emits the bit-identical stream.
+    method="threefry" keeps the portable jax.random path (CPU tests,
+    interpret mode); "auto" picks pallas exactly when the default backend
+    is a TPU and the batch is a multiple of 64 rows.
+    """
 
     def __init__(self, nchans: int, amplitude: float = 1.0, seed: int = 0,
-                 name=None):
+                 method: str = "auto", name=None):
         super().__init__(name)
+        if method not in ("auto", "pallas", "threefry"):
+            raise ValueError(f"method {method!r} not in auto/pallas/threefry")
         self.nchans = int(nchans)
         self.seed = int(seed)
+        self.method = method
         self.add_output("out", "rf32", item_shape=(2 * self.nchans,))
         self.declare_param("amplitude", amplitude, dtype=np.float32)
 
+    def _use_pallas(self, nout: int) -> bool:
+        from newsched_tpu.ops.pallas.noise import GROUP_ROWS
+
+        if self.method == "threefry":
+            return False
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if self.method == "pallas":
+            if nout % GROUP_ROWS:
+                raise ValueError(
+                    f"noise_planes_source(method='pallas') needs batches in "
+                    f"multiples of {GROUP_ROWS} rows, got {nout}")
+            if not on_tpu:
+                raise ValueError("method='pallas' requires a TPU backend "
+                                 "(Mosaic's PRNG has no CPU lowering)")
+            return True
+        return on_tpu and nout % GROUP_ROWS == 0
+
     def init_state(self, nin, nout):
+        if self._use_pallas(nout):
+            return {"ghi": jnp.zeros((), jnp.int32),
+                    "glo": jnp.zeros((), jnp.int32)}
         return {"key": jax.random.PRNGKey(self.seed)}
 
     def work(self, state, ins, params, nout):
+        if "ghi" in state:
+            from newsched_tpu.ops.pallas.noise import (GROUP_ROWS,
+                                                       advance_groups,
+                                                       gaussian_rows)
+
+            r = gaussian_rows(state["ghi"], state["glo"], n_rows=nout,
+                              width=2 * self.nchans, seed=self.seed)
+            hi, lo = advance_groups(state["ghi"], state["glo"],
+                                    nout // GROUP_ROWS)
+            return {"ghi": hi, "glo": lo}, {"out": r * params["amplitude"]}
         key, sub = jax.random.split(state["key"])
         r = jax.random.normal(sub, (nout, 2 * self.nchans), dtype=jnp.float32)
         return {"key": key}, {"out": r * params["amplitude"]}
+
+
+class fm_noise_channelizer_source(Block):
+    """The LIVE flagship as ONE source kernel: Gaussian noise generated
+    in-VMEM (hardware PRNG, ops/pallas/noise.py) feeding the fused FM
+    chain (ops/pallas/fm_chain.py fm_chain_gen_step) with zero input HBM
+    traffic — no source->block stream exists at all. Emits rf32[(M,)]
+    audio items; the noise stream is BIT-IDENTICAL to
+    ``noise_planes_source(method="pallas", seed, amplitude)`` ->
+    ``fm_channelizer_fused_planes`` with the same chain parameters
+    (tested on the TPU tier), the graph just skips that pipeline's
+    2x16.8 MB per-batch HBM round trip. TPU only.
+
+    Reference: SURVEY.md §3.4 noise_source + §3.3 cusp fused chains —
+    the reference's benchmark sources are ~free next to its chains; this
+    block is how a TPU-native design gets the same property.
+    """
+
+    def __init__(self, nchans: int, taps, audio_taps, audio_decim: int = 8,
+                 gain: float = 1.0, amplitude: float = 1.0, seed: int = 0,
+                 taps_per_arm: int | None = None, precision="split3",
+                 name=None):
+        super().__init__(name)
+        from newsched_tpu.ops import firdes, pfb as pfb_ops
+        from newsched_tpu.ops.pallas.fm_chain import _round8
+
+        self.nchans = int(nchans)
+        if taps is None:
+            taps = firdes.prototype_channelizer_taps(self.nchans,
+                                                     taps_per_arm or 16)
+        self.arm = pfb_ops.pfb_arm_taps(np.asarray(taps, np.float32), self.nchans)
+        self.fold_c = np.asarray(self.arm)[::-1, ::-1].T.copy()
+        self.audio_taps = np.asarray(audio_taps, np.float32)
+        self.audio_decim = int(audio_decim)
+        self.gain = float(gain)
+        self.seed = int(seed)
+        self.precision = precision
+        self.h8 = _round8(self.arm.shape[1] - 1)
+        self.add_output("out", "rf32", item_shape=(self.nchans,))
+        self.declare_param("amplitude", amplitude, dtype=np.float32)
+
+    def init_state(self, nin, nout):
+        M = self.nchans
+        A = len(self.audio_taps)
+        return {
+            "ghi": jnp.zeros((), jnp.int32),
+            "glo": jnp.zeros((), jnp.int32),
+            "carry": jnp.zeros((self.h8, 2 * M), jnp.float32),
+            "prev": jnp.zeros((1, 2 * M), jnp.float32),
+            "atail": jnp.zeros((A - 1, 2 * M), jnp.float32),
+        }
+
+    def work(self, state, ins, params, nout):
+        from newsched_tpu.ops.pallas.fm_chain import fm_chain_gen_step
+        from newsched_tpu.ops.pallas.noise import GROUP_ROWS, advance_groups
+
+        n_loc = int(nout) * self.audio_decim
+        aud, prev, atail, carry = fm_chain_gen_step(
+            state["ghi"], state["glo"], params["amplitude"], state["carry"],
+            state["prev"], state["atail"], self.fold_c, self.audio_taps,
+            self.audio_decim, self.gain, n_loc, seed=self.seed,
+            precision=self.precision)
+        hi, lo = advance_groups(state["ghi"], state["glo"],
+                                n_loc // GROUP_ROWS)
+        return ({"ghi": hi, "glo": lo, "carry": carry, "prev": prev,
+                 "atail": atail}, {"out": aud})
 
 
 class fm_channelizer_fused_planes(Block):

@@ -165,6 +165,29 @@ def _fm_channelizer_fused(nchans, chan_rate, taps_per_arm, audio_decim,
     if audio_taps is None:
         audio_taps = firdes.low_pass(1.0, chan_rate, 0.4 * chan_rate / audio_decim,
                                      0.1 * chan_rate / audio_decim)
+    if source == "live":
+        # The gen-fused LIVE flagship: one source kernel generating its own
+        # noise in VMEM (round-4; bit-identical stream to
+        # noise_planes_source(method="pallas", seed=0, amplitude=0.5) ->
+        # the planes block). TPU only.
+        src = vector_dsp.fm_noise_channelizer_source(
+            nchans, None, audio_taps, audio_decim=audio_decim,
+            gain=1.0 / (2 * np.pi * deviation_frac), amplitude=0.5, seed=0,
+            taps_per_arm=taps_per_arm, precision=precision)
+        bsz = None if batch_size is None else \
+            max(batch_size // (nchans * audio_decim), 1)
+        fg = Flowgraph("fm_channelizer_live", batch_size=bsz)
+        snk = (general.null_sink(dtype="rf32", vlen=(nchans,))
+               if sink == "null"
+               else general.vector_sink(dtype="rf32", vlen=(nchans,)))
+        if n_samples is not None:
+            hd = general.head(n_samples, dtype="rf32", vlen=(nchans,))
+            fg.connect(src, 0, hd, 0)
+            fg.connect(hd, 0, snk, 0)
+        else:
+            fg.connect(src, 0, snk, 0)
+        return fg, {"source": src, "adapter": None, "fused": src,
+                    "sink": snk, "audio_taps": audio_taps}
     fused_blk = vector_dsp.fm_channelizer_fused_planes(
         nchans, None, audio_taps, audio_decim=audio_decim,
         gain=1.0 / (2 * np.pi * deviation_frac), taps_per_arm=taps_per_arm,

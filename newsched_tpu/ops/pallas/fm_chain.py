@@ -213,6 +213,43 @@ def _wait_window(local_hbm, halo_hbm, win, sem_l, sem_h, i, slot, *,
                 win.at[slot], sem_l.at[slot]).wait()
 
 
+def _compute_tile(cur, carry_prev, carry_tail, c_ref, w_ref, h_ref,
+                  whi_ref, wlo_ref, hhi_ref, hlo_ref, aud_ref, *,
+                  T: int, L: int, H8: int, M: int, A: int, gain: float,
+                  precision):
+    """The fused chain's per-tile compute: arm fold (VPU) -> DFT matmul
+    (MXU) -> quadrature demod (VPU, polynomial atan2) -> audio Toeplitz
+    matmul (MXU). ``cur`` is any (T+H8, 2M) window ref (DMA'd slot or
+    generated scratch); shared by the DMA kernel and the gen-mode kernel."""
+    off = H8 - (L - 1)
+    acc = c_ref[0][None, :] * cur[off: off + T, :]
+    for q in range(1, L):
+        acc = acc + c_ref[q][None, :] * cur[off + q: off + q + T, :]
+    # phase combine (one real matmul on the planes layout; W pre-split)
+    Y = _mm(acc, w_ref[:, :], precision,
+            b_split=(whi_ref[:, :], wlo_ref[:, :]))  # (T, 2M)
+    # quadrature demod against the previous row
+    Aprev = jnp.concatenate([carry_prev[:, :], Y[:-1, :]], axis=0)
+    Yr64 = pltpu.roll(Y, M, 1)
+    t1 = Aprev * Y
+    t2 = Aprev * Yr64
+    PR = t1 + pltpu.roll(t1, M, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * M), 1)
+    sgn = jnp.where(lane < M, jnp.float32(1.0), jnp.float32(-1.0))
+    PI = sgn * (t2 - pltpu.roll(t2, M, 1))
+    # split3's matmul floor (~-96 dB) dwarfs the degree-5 polynomial error
+    # (-113 dBc) — drop 4 FMA steps there; HIGHEST keeps degree 9.
+    aud = atan2(PI, PR, deg=5 if precision == "split3" else 9) \
+        * jnp.float32(gain)                           # (T, 2M) dup halves
+    # audio FIR + decimation (Toeplitz matmul over [tail; aud])
+    audfull = jnp.concatenate([carry_tail[:, :], aud], axis=0)  # (A-1+T, 2M)
+    aud_ref[:, :] = _mm(h_ref[:, :], audfull, precision,
+                        a_split=(hhi_ref[:, :], hlo_ref[:, :]))  # (T//decim, 2M)
+    # carry for the next tile
+    carry_prev[:, :] = Y[T - 1:T, :]
+    carry_tail[:, :] = aud[T - (A - 1):, :]
+
+
 def _kernel(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
             whi_ref, wlo_ref, hhi_ref, hlo_ref,
             aud_ref, prev_out_ref, tail_out_ref,
@@ -252,41 +289,14 @@ def _kernel(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
                       **dma)
 
     _wait_window(local_hbm, halo_hbm, win, sem_l, sem_h, i, slot, **dma)
-    cur = win.at[slot]
-
-    # arm fold (fold offset: window rows [off, off + T + L - 1) are live)
-    off = H8 - (L - 1)
-    acc = c_ref[0][None, :] * cur[off: off + T, :]
-    for q in range(1, L):
-        acc = acc + c_ref[q][None, :] * cur[off + q: off + q + T, :]
-    # phase combine (one real matmul on the planes layout; W pre-split)
-    Y = _mm(acc, w_ref[:, :], precision,
-            b_split=(whi_ref[:, :], wlo_ref[:, :]))  # (T, 2M)
-    # quadrature demod against the previous row
-    Aprev = jnp.concatenate([carry_prev[:, :], Y[:-1, :]], axis=0)
-    Yr64 = pltpu.roll(Y, M, 1)
-    t1 = Aprev * Y
-    t2 = Aprev * Yr64
-    PR = t1 + pltpu.roll(t1, M, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * M), 1)
-    sgn = jnp.where(lane < M, jnp.float32(1.0), jnp.float32(-1.0))
-    PI = sgn * (t2 - pltpu.roll(t2, M, 1))
-    # split3's matmul floor (~-96 dB) dwarfs the degree-5 polynomial error
-    # (-113 dBc) — drop 4 FMA steps there; HIGHEST keeps degree 9.
-    aud = atan2(PI, PR, deg=5 if precision == "split3" else 9) \
-        * jnp.float32(gain)                           # (T, 2M) dup halves
-    # audio FIR + decimation (Toeplitz matmul over [tail; aud])
-    audfull = jnp.concatenate([carry_tail[:, :], aud], axis=0)  # (A-1+T, 2M)
-    aud_ref[:, :] = _mm(h_ref[:, :], audfull, precision,
-                        a_split=(hhi_ref[:, :], hlo_ref[:, :]))  # (T//decim, 2M)
-    # carry + final-state outputs
-    carry_prev[:, :] = Y[T - 1:T, :]
-    carry_tail[:, :] = aud[T - (A - 1):, :]
+    _compute_tile(win.at[slot], carry_prev, carry_tail, c_ref, w_ref, h_ref,
+                  whi_ref, wlo_ref, hhi_ref, hlo_ref, aud_ref,
+                  T=T, L=L, H8=H8, M=M, A=A, gain=gain, precision=precision)
 
     @pl.when(i == n - 1)
     def _():
-        prev_out_ref[:, :] = Y[T - 1:T, :]
-        tail_out_ref[:, :] = aud[T - (A - 1):, :]
+        prev_out_ref[:, :] = carry_prev[:, :]
+        tail_out_ref[:, :] = carry_tail[:, :]
 
 
 def _kernel_pipe(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref,
@@ -501,6 +511,134 @@ def fm_chain_step_planes(vb: jax.Array, halo: jax.Array, prev0: jax.Array,
     )(vb, halo, prev0, tail0, jnp.asarray(c2), jnp.asarray(W2),
       jnp.asarray(Haud), Whi, Wlo, Hhi, Hlo)
     return aud[warm // decim:, :M], prev, tail
+
+
+def _kernel_gen(ghi_ref, glo_ref, amp_ref, carry0_ref, prev0_ref, tail0_ref,
+                c_ref, w_ref, h_ref, whi_ref, wlo_ref, hhi_ref, hlo_ref,
+                aud_ref, prev_out_ref, tail_out_ref, carry_out_ref,
+                win, carry_prev, carry_tail, *,
+                T: int, L: int, H8: int, M: int, A: int, gain: float,
+                NT: int, seed: int, precision):
+    """Gen-mode tile: the window is GENERATED in VMEM (hardware PRNG +
+    Irwin-Hall, ops/pallas/noise.py) instead of DMA'd from HBM — the
+    whole live noise flagship becomes zero-input-traffic. Tile i's fresh
+    rows are absolute groups g0 + i*(T/GROUP_ROWS)...; the H8-row fold
+    halo is carried tile-to-tile in the same window buffer (no
+    regeneration) and across batches via the carry0/carry_out state."""
+    from newsched_tpu.ops.pallas.noise import GROUP_ROWS, gen_rows
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        win[0:H8, :] = carry0_ref[:, :]
+        carry_prev[:, :] = prev0_ref[:, :]
+        carry_tail[:, :] = tail0_ref[:, :]
+
+    base = jnp.int32(i) * jnp.int32(T // GROUP_ROWS)
+    lo = glo_ref[0]
+    glo = lo + base
+    wrapped = (glo ^ jnp.int32(-0x80000000)) < (lo ^ jnp.int32(-0x80000000))
+    ghi = ghi_ref[0] + wrapped.astype(jnp.int32)
+    win[H8:, :] = gen_rows(jnp.int32(seed), ghi, glo, T, 2 * M) * amp_ref[0]
+    _compute_tile(win, carry_prev, carry_tail, c_ref, w_ref, h_ref,
+                  whi_ref, wlo_ref, hhi_ref, hlo_ref, aud_ref,
+                  T=T, L=L, H8=H8, M=M, A=A, gain=gain, precision=precision)
+
+    @pl.when(i == NT - 1)
+    def _():
+        prev_out_ref[:, :] = carry_prev[:, :]
+        tail_out_ref[:, :] = carry_tail[:, :]
+        carry_out_ref[:, :] = win[T: T + H8, :]
+
+    # next tile's halo = this tile's last H8 fresh rows (T >= H8 so the
+    # read happens before the region is ever overwritten)
+    win[0:H8, :] = win[T: T + H8, :]
+
+
+def fm_chain_gen_step(ghi: jax.Array, glo: jax.Array, amp: jax.Array,
+                      carry0: jax.Array, prev0: jax.Array, tail0: jax.Array,
+                      arm_c: np.ndarray, ataps: np.ndarray, decim: int,
+                      gain: float, n_loc: int, tile: int = 512,
+                      seed: int = 0,
+                      precision=jax.lax.Precision.HIGHEST):
+    """One batch of the fused chain with the input GENERATED in-kernel:
+    the live noise flagship as a single source kernel (VERDICT r3 item #1).
+
+    Args:
+      ghi/glo: absolute GROUP_ROWS-row group counter of the batch start
+        (two int32 halves, see ops/pallas/noise.py) — the only stream
+        state besides the chain carries.
+      amp: f32 scalar noise amplitude (runtime-settable parameter).
+      carry0: (H8, 2M) the previous batch's trailing generated rows
+        (zeros at stream start) — the PFB fold halo.
+      prev0/tail0, arm_c, ataps, decim, gain: as fm_chain_step_planes.
+      n_loc: rows to generate+process this batch (multiple of tile; tile
+        must be a multiple of noise.GROUP_ROWS).
+
+    Returns (audio (n_loc//decim, M) f32, prev, tail, carry (H8, 2M)).
+    Emits the BIT-IDENTICAL stream to noise_planes_source(method="pallas",
+    same seed/amplitude) -> fm_channelizer_fused_planes, minus that
+    graph's 2x16.8 MB HBM round trip. TPU only (no interpret lowering for
+    the Mosaic PRNG).
+    """
+    from newsched_tpu.ops.pallas.noise import GROUP_ROWS
+
+    L, M = int(arm_c.shape[0]), int(arm_c.shape[1])
+    A = int(np.asarray(ataps).shape[0])
+    H8 = _round8(L - 1)
+    tile = _pick_tile(n_loc, tile, decim)
+    if tile % GROUP_ROWS:
+        raise ValueError(f"tile {tile} not a multiple of the noise group "
+                         f"({GROUP_ROWS} rows)")
+    if A - 1 > tile or tile < H8:
+        raise ValueError(f"tile {tile} too small for A={A}, H8={H8}")
+    c2 = planes_taps(arm_c)
+    W2 = planes_dft_matrix(M)
+    Haud = audio_toeplitz(ataps, tile, decim)
+    Whi, Wlo = _presplit(W2)
+    Hhi, Hlo = _presplit(Haud)
+    NT = n_loc // tile
+    kernel = functools.partial(_kernel_gen, T=tile, L=L, H8=H8, M=M, A=A,
+                               gain=float(gain), NT=NT, seed=int(seed),
+                               precision=precision)
+    n_aud = n_loc // decim
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    aud, prev, tail, carry = pl.pallas_call(
+        kernel,
+        grid=(NT,),
+        in_specs=[smem, smem, smem] + [vmem] * 10,
+        out_specs=(
+            pl.BlockSpec((tile // decim, 2 * M), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * M), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((A - 1, 2 * M), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H8, 2 * M), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_aud, 2 * M), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * M), jnp.float32),
+            jax.ShapeDtypeStruct((A - 1, 2 * M), jnp.float32),
+            jax.ShapeDtypeStruct((H8, 2 * M), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile + H8, 2 * M), jnp.float32),  # gen window
+            pltpu.VMEM((1, 2 * M), jnp.float32),
+            pltpu.VMEM((A - 1, 2 * M), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_loc * 2 * M * (L + 2 * M)
+            + 2 * n_aud * 2 * M * (A - 1 + tile) + 10 * n_loc * 2 * M,
+            bytes_accessed=n_aud * 2 * M * 4,
+            transcendentals=n_loc * 2 * M,
+        ),
+    )(ghi.reshape(1).astype(jnp.int32), glo.reshape(1).astype(jnp.int32),
+      amp.reshape(1).astype(jnp.float32), carry0, prev0, tail0,
+      jnp.asarray(c2), jnp.asarray(W2), jnp.asarray(Haud), Whi, Wlo, Hhi, Hlo)
+    return aud[:, :M], prev, tail, carry
 
 
 def fm_chain_step(vr: jax.Array, vi: jax.Array, prev0: jax.Array,

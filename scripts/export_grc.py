@@ -90,6 +90,7 @@ EXAMPLE_ARGS: dict[str, tuple] = {
     "channel_select": (8, 0),
     "fm_channelizer_fused": (8, None, _TAPS),
     "fm_channelizer_fused_planes": (64, None, _TAPS),
+    "fm_noise_channelizer_source": (64, None, _TAPS),
     "cplx_to_planes": (8,),
     "noise_planes_source": (8,),
     # yml-described blocks with static params

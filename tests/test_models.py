@@ -98,3 +98,29 @@ def test_config2_channelizer_model_runs():
     audio = parts["sink"].data()
     assert audio.shape == (2048, 16)
     assert np.all(np.isfinite(audio))
+
+
+def test_noise_planes_source_method_selection_cpu():
+    """CPU backend: method='auto' falls back to threefry (works, gaussian
+    stats); method='pallas' raises with a clear error (Mosaic PRNG has no
+    CPU lowering)."""
+    from newsched_tpu.blocks import general, vector_dsp
+    from newsched_tpu.runtime.graph import Flowgraph
+
+    src = vector_dsp.noise_planes_source(16, amplitude=2.0, seed=1)
+    hd = general.head(1024, dtype="rf32", vlen=(32,))
+    snk = general.vector_sink(dtype="rf32", vlen=(32,))
+    fg = Flowgraph(batch_size=256)
+    fg.connect(src, 0, hd, 0)
+    fg.connect(hd, 0, snk, 0)
+    fg.run()
+    r = snk.data()
+    assert r.shape == (1024, 32)
+    assert abs(r.std() - 2.0) < 0.05
+
+    with pytest.raises(ValueError, match="TPU backend"):
+        bad = vector_dsp.noise_planes_source(16, method="pallas")
+        bad.init_state(0, 256)
+    with pytest.raises(ValueError, match="multiples of"):
+        bad = vector_dsp.noise_planes_source(16, method="pallas")
+        bad.init_state(0, 100)  # not a GROUP_ROWS multiple

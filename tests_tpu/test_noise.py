@@ -1,0 +1,133 @@
+"""On-TPU tests for the hardware-PRNG noise source (round 4):
+ops/pallas/noise.py and the gen-fused live flagship source.
+
+CPU tests cannot cover these (Mosaic's PRNG has no CPU/interpret
+lowering); the portable threefry fallback of noise_planes_source is
+covered in tests/.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _rows(n, seed=0, width=128, **kw):
+    from newsched_tpu.ops.pallas.noise import gaussian_rows
+
+    z = jnp.zeros((), jnp.int32)
+    return np.asarray(jax.device_get(
+        gaussian_rows(z, z, n_rows=n, width=width, seed=seed, **kw)))
+
+
+def test_noise_distribution_moments():
+    """Irwin-Hall N=6 transform: mean 0, var 1, documented support
+    (+-4.24 sigma) and near-Gaussian kurtosis (excess -0.2)."""
+    r = _rows(8192, seed=5)
+    n = r.size
+    assert abs(r.mean()) < 5 / np.sqrt(n)
+    assert abs(r.std() - 1.0) < 0.01
+    assert np.abs(r).max() <= 4.25
+    kurt = np.mean(r**4) / np.mean(r**2) ** 2 - 3.0
+    assert abs(kurt - (-0.2)) < 0.05
+    # decorrelation along rows (time) and lanes (channels)
+    assert abs(np.corrcoef(r[:-1].ravel(), r[1:].ravel())[0, 1]) < 0.01
+    assert abs(np.corrcoef(r[:, :-1].ravel(), r[:, 1:].ravel())[0, 1]) < 0.01
+
+
+def test_noise_stream_split_and_tile_invariance():
+    """The stream is a pure function of (seed, absolute group index):
+    batch splits and tile choices cannot change it."""
+    from newsched_tpu.ops.pallas.noise import GROUP_ROWS, advance_groups, \
+        gaussian_rows
+
+    whole = _rows(4096, seed=9)
+    z = jnp.zeros((), jnp.int32)
+    hi, lo = advance_groups(z, z, 1024 // GROUP_ROWS)
+    part = np.asarray(jax.device_get(
+        gaussian_rows(hi, lo, n_rows=4096 - 1024, width=128, seed=9)))
+    np.testing.assert_array_equal(whole[1024:], part)
+    np.testing.assert_array_equal(whole, _rows(4096, seed=9, tile=128))
+    assert not np.array_equal(whole, _rows(4096, seed=10))
+
+
+def test_noise_source_block_batch_split_invariance():
+    """noise_planes_source(method='pallas') through the flowgraph emits
+    the same stream regardless of batch size (64-row multiples)."""
+    from newsched_tpu import Flowgraph
+    from newsched_tpu.blocks import general, vector_dsp
+
+    def run(batch_rows, n_rows=2048):
+        src = vector_dsp.noise_planes_source(64, amplitude=0.7, seed=3,
+                                             method="pallas")
+        hd = general.head(n_rows, dtype="rf32", vlen=(128,))
+        snk = general.vector_sink(dtype="rf32", vlen=(128,))
+        fg = Flowgraph(batch_size=batch_rows)
+        fg.connect(src, 0, hd, 0)
+        fg.connect(hd, 0, snk, 0)
+        fg.run()
+        return snk.data()
+
+    a = run(512)
+    b = run(2048)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_gen_fused_source_matches_source_plus_chain_graph():
+    """The gen-mode mega-kernel (fm_noise_channelizer_source) emits the
+    BIT-IDENTICAL audio stream to noise_planes_source(method='pallas') ->
+    fm_channelizer_fused_planes with the same parameters, across several
+    batches (the in-kernel generation and the standalone source share the
+    (seed, absolute-group) determinism contract)."""
+    from newsched_tpu import Flowgraph, models
+    from newsched_tpu.blocks import general, vector_dsp
+    from newsched_tpu.ops import firdes
+
+    M, TPA, DECIM = 64, 16, 8
+    taps = firdes.prototype_channelizer_taps(M, TPA)
+    ataps = firdes.low_pass(1.0, 1.0, 0.4 / DECIM, 0.1 / DECIM, ntaps=65)
+    B = 1 << 18
+    n_aud = 3 * B // (M * DECIM)  # 3 batches
+
+    src = vector_dsp.noise_planes_source(M, amplitude=0.5, seed=11,
+                                         method="pallas")
+    fg, blks = models.fm_channelizer(
+        nchans=M, taps_per_arm=TPA, audio_decim=DECIM, source=src,
+        batch_size=B, sink="vector", n_samples=n_aud, fused=True,
+        deviation_frac=1.0 / (2 * np.pi * 0.5), audio_taps=ataps)
+    fg.run()
+    a = blks["sink"].data()
+
+    src2 = vector_dsp.fm_noise_channelizer_source(
+        M, taps, ataps, audio_decim=DECIM, gain=0.5, amplitude=0.5, seed=11)
+    fg2 = Flowgraph(batch_size=B // (M * DECIM))
+    hd = general.head(n_aud, dtype="rf32", vlen=(M,))
+    snk = general.vector_sink(dtype="rf32", vlen=(M,))
+    fg2.connect(src2, 0, hd, 0)
+    fg2.connect(hd, 0, snk, 0)
+    fg2.run()
+    b = snk.data()
+
+    assert a.shape == b.shape == (n_aud, M)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_live_model_gates_vs_float64_golden():
+    """models.fm_channelizer(source='live') audio matches the float64
+    golden over the exact PRNG rows (>60 dB, branch-cut mask per
+    bench.rows_reference)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import bench
+
+    B = 1 << 18
+    _, gate_live, Bl = bench.live_paths(
+        bench._design()[0], bench._design()[1], B)
+    taps, audio_taps = bench._design()
+    a = np.asarray(gate_live())
+    ref, bad = bench.rows_reference(bench.live_golden_rows(Bl), taps,
+                                    audio_taps, return_risk=True)
+    snr = bench.snr_db(ref[~bad], a[~bad])
+    assert snr > 60, f"live SNR {snr:.1f} dB"
