@@ -156,6 +156,24 @@ def bm_wbfm(n: int = 1 << 25, batch: int = 1 << 21):
     return _time_graph(lambda: mk(n), n, batch, lambda: mk(4 * n))
 
 
+def bm_wbfm_fused(n: int = 64 * 32640 * 16, batch: int = 64 * 32640):
+    """Config #1 as ONE Pallas mega-kernel (round 4:
+    models.wbfm_receiver(fused=True), time-folded-lanes layout). Compare
+    with "wbfm" (the staged 3-block graph) for the fusion win. Batch is
+    fold+tile constrained (64 * 8 * decim * resamp_decim multiples)."""
+    from newsched_tpu.blocks import analog
+    from newsched_tpu.models import wbfm_receiver
+
+    def mk(nn):
+        # same default source as bm_wbfm (sig_source at 0 Hz) so the two
+        # rows isolate the chain fusion, not the source cost
+        fg, blocks = wbfm_receiver(fs=1e6, batch_size=batch, sink="null",
+                                   n_samples=nn // 20, fused=True)
+        return fg
+
+    return _time_graph(lambda: mk(n), n, batch, lambda: mk(4 * n))
+
+
 def bm_fft_filter(ntaps: int = 1024, n: int = 1 << 25, batch: int = 1 << 21):
     """BASELINE config #3 kernel: overlap-save fast convolution."""
     from newsched_tpu.blocks import analog, filter as filt, general
@@ -204,6 +222,7 @@ ALL = {
     "channelizer": bm_channelizer,
     "channelizer_fused": bm_channelizer_fused,
     "wbfm": bm_wbfm,
+    "wbfm_fused": bm_wbfm_fused,
     "fft_filter": bm_fft_filter,
 }
 

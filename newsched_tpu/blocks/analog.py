@@ -217,3 +217,120 @@ class fm_preemph(Block):
 
     init_state = fm_deemph.init_state
     work = fm_deemph.work
+
+
+class wbfm_rcv_fused(Block):
+    """The wideband-FM receive chain (BASELINE config #1: freq_xlating_fir
+    -> quadrature_demod -> rational_resampler) as ONE Pallas mega-kernel
+    on the time-folded-lanes layout (ops/pallas/wbfm_chain.py): cf32
+    scalar stream in -> rf32 scalar audio at rate 1/(decim*resamp_decim).
+
+    Drop-in for the staged chain of models.wbfm_receiver — outputs match
+    it to float32 accuracy (the dropped output NCO is an exact identity
+    through the demod; see the kernel docstring). Differences from the
+    staged blocks, by design: center_freq and demod gain are COMPILE-TIME
+    (retuning rebuilds the rotated-taps Toeplitz constants); interp-1
+    resamplers only. Batches must be multiples of 64*decim*resamp_decim
+    samples and large enough for the fold (>= plan.B8 * 64 samples).
+
+    Shards over the graph's time axis via the work_sharded compiler hook:
+    each device folds its own time shard; the only exchange is a
+    ppermute of the B8-row junction block (same warm-recompute argument
+    as the sharded channelizer).
+    """
+
+    def __init__(self, chan_taps, center_freq: float, fs: float,
+                 decim: int = 4, deviation: float = 75e3,
+                 resamp_interp: int = 1, resamp_decim: int = 5,
+                 resamp_taps=None, tile: int | None = None,
+                 precision="split3", interpret: bool = False, name=None):
+        super().__init__(name)
+        from fractions import Fraction
+
+        from newsched_tpu.ops.pallas.wbfm_chain import S, WbfmChainPlan
+
+        if resamp_interp != 1:
+            raise NotImplementedError(
+                "wbfm_rcv_fused fuses interp-1 resamplers only; use the "
+                "staged wbfm_receiver for rational interpolation")
+        if resamp_taps is None:
+            from newsched_tpu.ops import firdes
+
+            cutoff = 0.45 / max(resamp_interp, resamp_decim)
+            trans = 0.1 / max(resamp_interp, resamp_decim)
+            resamp_taps = firdes.low_pass(resamp_interp, 1.0, cutoff, trans)
+        quad_rate = fs / decim
+        self.plan = WbfmChainPlan(
+            np.asarray(chan_taps), int(nco.freq_to_dphase(center_freq, fs)),
+            decim, np.asarray(resamp_taps), resamp_decim,
+            demod_gain=quad_rate / (2 * np.pi * deviation),
+            precision=precision)
+        self.tile = tile
+        self.interpret = bool(interpret)
+        self.relative_rate = Fraction(1, decim * resamp_decim)
+        # fold width x the kernel's tile step (8*D*Rd rows): keeps the
+        # audio output block 8-row aligned on the chip
+        self.in_multiple = S * 8 * decim * resamp_decim
+        self.add_input("in", "cf32")
+        self.add_output("out", "rf32")
+
+    def init_state(self, nin, nout):
+        from newsched_tpu.ops.pallas.wbfm_chain import S
+
+        return {"carry": jnp.zeros((self.plan.B8, 2 * S), jnp.float32)}
+
+    def work(self, state, ins, params, nout):
+        from newsched_tpu.ops.pallas.wbfm_chain import (fold_planes,
+                                                        unfold_audio,
+                                                        wbfm_chain_step)
+
+        xp = fold_planes(ins["in"])
+        aud, carry = wbfm_chain_step(xp, state["carry"], self.plan,
+                                     tile=self.tile,
+                                     interpret=self.interpret)
+        return {"carry": carry}, {"out": unfold_audio(aud)}
+
+    def init_state_sharded(self, nin, nout, mesh, axis):
+        return self.init_state(nin, nout)
+
+    def work_sharded(self, state, ins, params, nout, mesh, axis):
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from newsched_tpu.ops.pallas.wbfm_chain import (fold_planes,
+                                                        unfold_audio,
+                                                        wbfm_chain_step)
+
+        nd = mesh.shape[axis]
+        if nd <= 1:
+            return self.work(state, ins, params, nout)
+        B8 = self.plan.B8
+
+        def fn(x_loc, carry):
+            xp = fold_planes(x_loc.reshape(-1))
+            bot = xp[-B8:, :]
+            prev = jax.lax.ppermute(bot, axis,
+                                    [(i, i + 1) for i in range(nd - 1)])
+            idx = jax.lax.axis_index(axis)
+            pred = jnp.where(idx == 0, carry, prev)
+            aud, _ = wbfm_chain_step(xp, pred, self.plan, tile=self.tile,
+                                     interpret=self.interpret)
+            y = unfold_audio(aud)
+            new_carry = jax.lax.psum(
+                jnp.where(idx == nd - 1, bot, jnp.zeros_like(bot)), axis)
+            return y, new_carry
+
+        # pallas_call inside shard_map needs the varying-mesh-axes check
+        # off (its ShapeDtypeStruct outputs carry no vma annotation);
+        # kwarg name differs across jax versions.
+        try:
+            smapped = shard_map(fn, mesh=mesh, in_specs=(P(axis), P()),
+                                out_specs=(P(axis), P()), check_vma=False)
+        except TypeError:
+            smapped = shard_map(fn, mesh=mesh, in_specs=(P(axis), P()),
+                                out_specs=(P(axis), P()), check_rep=False)
+        y, carry = smapped(ins["in"], state["carry"])
+        return {"carry": carry}, {"out": y}

@@ -42,7 +42,8 @@ def wbfm_receiver(fs: float = 1_000_000.0, center_freq: float = 200_000.0,
                   quad_rate_decim: int = 4, audio_decim: tuple[int, int] = (1, 5),
                   deviation: float = 75_000.0, n_samples: int | None = None,
                   source=None, batch_size: int | None = None, sink: str = "vector",
-                  deemph_tau: float | None = None):
+                  deemph_tau: float | None = None, fused: bool = False,
+                  precision="split3", interpret: bool = False):
     """Config #1: wideband FM receiver.
 
     freq_xlating_fir (channel select + decimate to quad rate) ->
@@ -50,6 +51,13 @@ def wbfm_receiver(fs: float = 1_000_000.0, center_freq: float = 200_000.0,
     [-> fm_deemph when deemph_tau is given, e.g. 75e-6 — the GR wfm_rcv
     shape; off by default so the benchmark chain matches config #1].
     Default rates: 1 MS/s -> 250 kS/s quad -> 50 kS/s audio.
+
+    fused=True runs the whole xlate->demod->resampler chain as ONE Pallas
+    mega-kernel on the time-folded-lanes layout
+    (blocks.analog.wbfm_rcv_fused / ops/pallas/wbfm_chain.py) — the
+    round-4 second fused chain. Semantically a drop-in for the staged
+    graph (matches it to f32 accuracy); requires interp=1 resampling and
+    batches in multiples of 64*decim*resamp_decim samples.
     """
     quad_rate = fs / quad_rate_decim
     chan_taps = firdes.low_pass(1.0, fs, 100e3, 30e3)
@@ -57,6 +65,30 @@ def wbfm_receiver(fs: float = 1_000_000.0, center_freq: float = 200_000.0,
     fg = Flowgraph("wbfm_receiver", batch_size=batch_size)
     if source is None:
         source = analog.sig_source(fs, "complex", frequency=0.0)
+    if fused:
+        fused_blk = analog.wbfm_rcv_fused(
+            chan_taps, center_freq, fs, decim=quad_rate_decim,
+            deviation=deviation, resamp_interp=interp, resamp_decim=decim,
+            precision=precision, interpret=interpret)
+        snk = (general.vector_sink(dtype="rf32") if sink == "vector"
+               else general.null_sink(dtype="rf32"))
+        fg.connect(source, 0, fused_blk, 0)
+        tail = fused_blk
+        deemph = None
+        if deemph_tau is not None:
+            audio_rate = quad_rate * interp / decim
+            deemph = analog.fm_deemph(audio_rate, tau=deemph_tau)
+            fg.connect(fused_blk, 0, deemph, 0)
+            tail = deemph
+        if n_samples is not None:
+            hd = general.head(n_samples, dtype="rf32")
+            fg.connect(tail, 0, hd, 0)
+            fg.connect(hd, 0, snk, 0)
+        else:
+            fg.connect(tail, 0, snk, 0)
+        return fg, {"source": source, "fused": fused_blk, "xlate": fused_blk,
+                    "demod": fused_blk, "resamp": fused_blk,
+                    "deemph": deemph, "sink": snk}
     xlate = filt.freq_xlating_fir(chan_taps, center_freq, fs, decim=quad_rate_decim)
     demod = analog.quadrature_demod(gain=quad_rate / (2 * np.pi * deviation))
     resamp = filt.rational_resampler(interp, decim, dtype="rf32")  # audio is real

@@ -1,0 +1,138 @@
+"""The fused wbfm receive chain (ops/pallas/wbfm_chain.py, round 4):
+interpret-mode kernel vs a float64 staged-semantics golden, the flowgraph
+twin test vs the staged blocks, and the sharded graph path on the CPU sim
+mesh. TPU-tier compiled-mode tests live in tests_tpu/test_on_tpu.py."""
+
+import numpy as np
+import pytest
+import scipy.signal as sig
+
+import jax
+import jax.numpy as jnp
+
+from newsched_tpu import models
+from newsched_tpu.blocks import general
+from newsched_tpu.ops import firdes, nco
+
+
+def golden_chain(x, c, dphase, D, rt, Rd, gain):
+    """Float64 staged-semantics golden: fxpt-NCO rotate -> lfilter decim ->
+    quadrature demod (zero-pinned) -> lfilter decim."""
+    idx = np.arange(len(x), dtype=np.uint64)
+    acc = (idx * np.uint64(dphase)) & np.uint64(0xFFFFFFFF)
+    ph = 2 * np.pi * (acc.astype(np.float64) / 2.0 ** 32)
+    xr = x.astype(np.complex128) * np.exp(-1j * ph)
+    u = sig.lfilter(np.asarray(c, np.complex128), 1.0, xr)[::D]
+    up = np.concatenate([[0.0], u[:-1]])
+    p = np.conj(up) * u
+    d = np.where((up == 0) | (u == 0), 0.0, np.angle(p)) * gain
+    return sig.lfilter(np.asarray(rt, np.float64), 1.0, d)[::Rd]
+
+
+def snr_db(ref, test):
+    ref = np.asarray(ref, np.float64).ravel()
+    err = ref - np.asarray(test, np.float64).ravel()
+    return 10 * np.log10(np.mean(ref ** 2) / np.mean(err ** 2))
+
+
+def _small_cfg():
+    ntaps, A, D, Rd = 25, 15, 4, 5
+    c = sig.firwin(ntaps, 0.2)
+    rt = sig.firwin(A, 0.15)
+    dphase = int(round(0.21 * 2 ** 32)) & 0xFFFFFFFF
+    return c, rt, dphase, D, Rd, 0.7
+
+
+def test_wbfm_kernel_streaming_matches_golden_interpret():
+    """3 streamed batches through the bare kernel (junction recompute +
+    carry) match the infinite-stream float64 golden everywhere."""
+    from newsched_tpu.ops.pallas.wbfm_chain import (S, WbfmChainPlan,
+                                                    fold_planes,
+                                                    unfold_audio,
+                                                    wbfm_chain_step)
+
+    c, rt, dphase, D, Rd, gain = _small_cfg()
+    plan = WbfmChainPlan(c, dphase, D, rt, Rd, gain,
+                         precision=jax.lax.Precision.HIGHEST)
+    rng = np.random.default_rng(0)
+    n = S * 160  # R=160 = one tile of 8*D*Rd rows
+    nb = 3
+    x = (rng.standard_normal(nb * n)
+         + 1j * rng.standard_normal(nb * n)).astype(np.complex64)
+    ref = golden_chain(x, c, dphase, D, rt, Rd, gain)
+    carry = jnp.zeros((plan.B8, 2 * S), jnp.float32)
+    outs = []
+    for b in range(nb):
+        xp = fold_planes(jnp.asarray(x[b * n:(b + 1) * n]))
+        aud, carry = wbfm_chain_step(xp, carry, plan, interpret=True)
+        outs.append(np.asarray(unfold_audio(aud)))
+    got = np.concatenate(outs)
+    assert snr_db(ref[: len(got)], got) > 100
+
+
+def test_wbfm_fused_model_matches_staged_graph():
+    """models.wbfm_receiver(fused=True) through the flowgraph matches the
+    staged 3-block graph on an FM signal (config #1 parameters)."""
+    fs = 1e6
+    n = 2 * 40960  # two batches; R=640 >= B8=568 for the real taps
+    t = np.arange(n) / fs
+    msg = np.sin(2 * np.pi * 2000.0 * t)
+    ph = np.cumsum(2 * np.pi * (75e3 / fs) * msg)
+    x = (np.exp(1j * ph) * np.exp(2j * np.pi * 200e3 * t)).astype(np.complex64)
+
+    def run(fused):
+        src = general.vector_source(x)
+        fg, parts = models.wbfm_receiver(
+            fs=fs, center_freq=200e3, quad_rate_decim=4, audio_decim=(1, 5),
+            deviation=75e3, source=src, batch_size=40960, fused=fused,
+            interpret=fused)
+        fg.run()
+        return parts["sink"].data()
+
+    a, b = run(False), run(True)
+    assert a.shape == b.shape
+    assert snr_db(a, b) > 100
+
+
+def test_wbfm_fused_sharded_graph_matches_unsharded():
+    """fg.run(mesh=...) lowers the fused wbfm block through its
+    work_sharded hook (per-device fold + ppermute junction block) and
+    matches the unsharded run exactly (warm recompute is exact)."""
+    from newsched_tpu.blocks import analog
+    from newsched_tpu.parallel.mesh import make_mesh
+    from newsched_tpu.runtime.graph import Flowgraph
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the simulated multi-device CPU mesh")
+    c, rt, dphase, D, Rd, gain = _small_cfg()
+    nd = 4
+    n = nd * 64 * 160
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(n)
+         + 1j * rng.standard_normal(n)).astype(np.complex64)
+
+    def run(mesh):
+        src = general.vector_source(x)
+        blk = analog.wbfm_rcv_fused(
+            c, center_freq=0.21 * 1e6, fs=1e6, decim=D, deviation=75e3,
+            resamp_decim=Rd, resamp_taps=rt, interpret=True)
+        hd = general.head(n // (D * Rd), dtype="rf32")
+        snk = general.vector_sink(dtype="rf32")
+        fg = Flowgraph(batch_size=n)
+        fg.connect(src, 0, blk, 0)
+        fg.connect(hd, 0, snk, 0)
+        fg.connect(blk, 0, hd, 0)
+        fg.run(mesh=mesh)
+        return snk.data()
+
+    a = run(None)
+    b = run(make_mesh(n_devices=nd))
+    assert a.shape == b.shape
+    assert snr_db(a, b) > 120
+
+
+def test_wbfm_fused_rejects_bad_configs():
+    from newsched_tpu.blocks import analog
+
+    with pytest.raises(NotImplementedError, match="interp-1"):
+        analog.wbfm_rcv_fused(np.ones(9), 0.0, 1e6, resamp_interp=2)

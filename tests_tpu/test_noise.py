@@ -131,3 +131,48 @@ def test_live_model_gates_vs_float64_golden():
                                     audio_taps, return_risk=True)
     snr = bench.snr_db(ref[~bad], a[~bad])
     assert snr > 60, f"live SNR {snr:.1f} dB"
+
+
+def test_wbfm_fused_compiled_on_tpu_snr():
+    """Round-4 second fused chain, compiled mode on the real chip:
+    models.wbfm_receiver(fused=True) at split3 precision demodulates a
+    constant-envelope FM signal at >60 dB vs the float64 staged-semantics
+    golden (noise input additionally passes at HIGHEST; split3-on-noise
+    hits atan2 branch flips at Rayleigh nulls — see BASELINE.md)."""
+    import scipy.signal as sig
+
+    from newsched_tpu import models
+    from newsched_tpu.blocks import general
+    from newsched_tpu.ops import firdes, nco
+
+    fs = 1e6
+    B = 64 * 20480
+    t = np.arange(B) / fs
+    msg = np.sin(2 * np.pi * 2000.0 * t)
+    ph = np.cumsum(2 * np.pi * (75e3 / fs) * msg)
+    x = (np.exp(1j * ph) * np.exp(2j * np.pi * 200e3 * t)).astype(np.complex64)
+
+    src = general.vector_source(x)
+    fg, parts = models.wbfm_receiver(fs=fs, center_freq=200e3, source=src,
+                                     batch_size=B, n_samples=B // 20,
+                                     fused=True)
+    fg.run()
+    a = parts["sink"].data()
+
+    c = firdes.low_pass(1.0, fs, 100e3, 30e3)
+    rt = firdes.low_pass(1, 1.0, 0.45 / 5, 0.1 / 5)
+    dphase = int(nco.freq_to_dphase(200e3, fs))
+    idx = np.arange(B, dtype=np.uint64)
+    acc = (idx * np.uint64(dphase)) & np.uint64(0xFFFFFFFF)
+    phs = 2 * np.pi * (acc.astype(np.float64) / 2.0 ** 32)
+    xr = x.astype(np.complex128) * np.exp(-1j * phs)
+    u = sig.lfilter(c.astype(np.complex128), 1.0, xr)[::4]
+    up = np.concatenate([[0.0], u[:-1]])
+    p = np.conj(up) * u
+    d = np.where((up == 0) | (u == 0), 0.0,
+                 np.angle(p)) * ((fs / 4) / (2 * np.pi * 75e3))
+    ref = sig.lfilter(rt.astype(np.float64), 1.0, d)[::5]
+
+    err = ref - a.astype(np.float64)
+    snr = 10 * np.log10(np.mean(ref ** 2) / np.mean(err ** 2))
+    assert snr > 60, f"wbfm fused split3 SNR {snr:.1f} dB"
