@@ -70,25 +70,71 @@ class sig_source(Block):
 
 
 class noise_source(Block):
-    """Gaussian/uniform noise (reference analog::noise_source<T>); counter-
-    based threefry PRNG keeps the stream reproducible and batch-invariant."""
+    """Gaussian/uniform noise (reference analog::noise_source<T>).
+
+    method="pallas" (the default on a TPU backend for gaussian noise with
+    64*dtype-lane-multiple batches) generates with the chip's hardware
+    PRNG + Irwin-Hall transform (ops/pallas/noise.py — 3.7x the XLA
+    threefry+erfinv path, see the round-4 live ledger); the stream is a
+    pure function of (seed, stream position). method="threefry" keeps the
+    portable counter-based jax.random path (CPU, uniform noise, odd
+    batch sizes)."""
 
     def __init__(self, noise_type: str = "gaussian", amplitude: float = 1.0,
-                 seed: int = 0, dtype="cf32", name=None):
+                 seed: int = 0, dtype="cf32", method: str = "auto", name=None):
         super().__init__(name)
+        if method not in ("auto", "pallas", "threefry"):
+            raise ValueError(f"method {method!r} not in auto/pallas/threefry")
         self.noise_type = noise_type
         self.seed = seed
+        self.method = method
         self.dtype = port_dtype(dtype)
         self.add_output("out", self.dtype)
         self.declare_param("amplitude", amplitude, dtype=np.float32)
 
+    def _use_pallas(self, nout: int) -> bool:
+        from newsched_tpu.ops.pallas.noise import GROUP_ROWS
+
+        complex_out = self.dtype.name == "cf32"
+        words = nout * (2 if complex_out else 1)
+        ok = (self.noise_type == "gaussian"
+              and self.dtype.name in ("cf32", "rf32")
+              and words % (GROUP_ROWS * 128) == 0
+              and jax.default_backend() not in ("cpu",))
+        if self.method == "pallas" and not ok:
+            raise ValueError(
+                "noise_source(method='pallas') needs a TPU backend, "
+                "gaussian cf32/rf32 output, and batches whose f32 word "
+                "count is a multiple of 8192")
+        return ok if self.method == "auto" else self.method == "pallas"
+
     def init_state(self, nin, nout):
+        if self._use_pallas(nout):
+            return {"ghi": jnp.zeros((), jnp.int32),
+                    "glo": jnp.zeros((), jnp.int32)}
         return {"key": jax.random.PRNGKey(self.seed)}
 
     def work(self, state, ins, params, nout):
-        key, sub = jax.random.split(state["key"])
         a = params["amplitude"]
         complex_out = self.dtype.name == "cf32"
+        if "ghi" in state:
+            from newsched_tpu.ops.pallas.noise import (GROUP_ROWS,
+                                                       advance_groups,
+                                                       gaussian_rows)
+
+            n_rows = nout * (2 if complex_out else 1) // 128
+            r = gaussian_rows(state["ghi"], state["glo"], n_rows=n_rows,
+                              width=128, seed=int(self.seed))
+            hi, lo = advance_groups(state["ghi"], state["glo"],
+                                    n_rows // GROUP_ROWS)
+            st = {"ghi": hi, "glo": lo}
+            if complex_out:
+                y = nco.jax_complex(r[:, :64].reshape(-1),
+                                    r[:, 64:].reshape(-1)) * a.astype(jnp.complex64)
+            else:
+                y = (r.reshape(-1) * a).astype(jnp.float32)
+            return st, {"out": y}
+        key, sub = jax.random.split(state["key"])
         shape = (nout, 2) if complex_out else (nout,)
         if self.noise_type == "gaussian":
             r = jax.random.normal(sub, shape, dtype=jnp.float32)

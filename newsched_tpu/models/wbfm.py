@@ -29,7 +29,9 @@ def fir_chain(n_samples: int = 10_000_000, fs: float = 1e6, ntaps: int = 128,
     taps = firdes.low_pass(1.0, fs, 0.2 * fs, 0.05 * fs, ntaps=ntaps)
     fg = Flowgraph("fir_chain", batch_size=batch_size)
     src = analog.sig_source(fs, "complex", frequency=frequency)
-    fir = filt.fir_filter(taps)
+    # mxu3 (3-pass bf16 split Toeplitz): 38 vs 54 us/2^21-batch measured vs
+    # the HIGHEST path at ~110 dB accuracy — BASELINE.md config-0 ledger
+    fir = filt.fir_filter(taps, method="mxu3")
     hd = general.head(n_samples)
     snk = general.null_sink() if sink == "null" else general.vector_sink()
     fg.connect(src, 0, fir, 0)

@@ -149,10 +149,28 @@ def _frame_with_halo(xfull: jax.Array, nframes: int, stride: int, srange: int) -
         else pieces[0][:, :srange]
 
 
-def _mxu_fir(xfull: jax.Array, taps_np: np.ndarray, n_out: int, decim: int) -> jax.Array:
+def _mm_split3(a: jax.Array, b: jax.Array) -> jax.Array:
+    """3-pass bf16 hi/lo matmul (~2^-16 relative, ~96 dB) — the XLA-level
+    twin of the mega-kernel's split3 (ops/pallas/fm_chain._mm): half the
+    MXU passes of HIGHEST. Constant operands' splits constant-fold."""
+    ahi = a.astype(jnp.bfloat16)
+    alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+    bhi = b.astype(jnp.bfloat16)
+    blo = (b - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(p, q):
+        return jnp.matmul(p, q, precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=jnp.float32)
+
+    return d(ahi, bhi) + (d(ahi, blo) + d(alo, bhi))
+
+
+def _mxu_fir(xfull: jax.Array, taps_np: np.ndarray, n_out: int, decim: int,
+             split3: bool = False) -> jax.Array:
     """Toeplitz-matmul FIR. xfull includes the ntaps-1 halo at the front.
     taps_np must be a host (static) array — the tap matrix is built at trace
-    time."""
+    time. split3 runs the matmuls at ~96 dB / 2x the HIGHEST throughput
+    (method="mxu3"; BASELINE.md config-0 ledger)."""
     taps_rev = np.asarray(taps_np)[::-1]
     ntaps = taps_rev.shape[0]
     frame = min(_MXU_FRAME, n_out)
@@ -168,23 +186,23 @@ def _mxu_fir(xfull: jax.Array, taps_np: np.ndarray, n_out: int, decim: int) -> j
         xfull = jnp.pad(xfull, (0, pad))
     Z = _frame_with_halo(xfull, nframes, stride, srange)
     H = _toeplitz_taps(taps_rev, frame, decim)
+    mm = _mm_split3 if split3 else functools.partial(
+        jnp.matmul, precision=jax.lax.Precision.HIGHEST)
     if _is_complex(Z) and not _is_complex(H):
-        planes = jnp.stack([jnp.real(Z), jnp.imag(Z)]).astype(jnp.float32)
-        Y = jnp.einsum("pns,sf->pnf", planes, H.astype(jnp.float32),
-                       precision=jax.lax.Precision.HIGHEST)
-        y = jax.lax.complex(Y[0], Y[1]).reshape(-1)
+        Hf = H.astype(jnp.float32)
+        yr = mm(jnp.real(Z).astype(jnp.float32), Hf)
+        yi = mm(jnp.imag(Z).astype(jnp.float32), Hf)
+        y = jax.lax.complex(yr, yi).reshape(-1)
     elif _is_complex(Z) and _is_complex(H):
         zr, zi = jnp.real(Z).astype(jnp.float32), jnp.imag(Z).astype(jnp.float32)
         hr, hi = jnp.real(H).astype(jnp.float32), jnp.imag(H).astype(jnp.float32)
-        mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
         yr = mm(zr, hr) - mm(zi, hi)
         yi = mm(zr, hi) + mm(zi, hr)
         y = jax.lax.complex(yr, yi).reshape(-1)
     else:
         # HIGHEST: default MXU precision is bf16-ish and costs ~18 dB of
         # SNR on a 65-tap audio FIR (measured — failed the 60 dB gate)
-        y = jnp.matmul(Z.astype(jnp.float32), H.astype(jnp.float32),
-                       precision=jax.lax.Precision.HIGHEST).reshape(-1)
+        y = mm(Z.astype(jnp.float32), H.astype(jnp.float32)).reshape(-1)
     return y[:n_out]
 
 
@@ -220,7 +238,14 @@ def fft_filter_full(xfull: jax.Array, taps: jax.Array, n_out: int, decim: int = 
     ntaps = taps.shape[0]
     n_lin = n_out * decim  # linear-convolution outputs needed before decimation
     if fft_size is None:
-        fft_size = max(_good_fft_size(4 * ntaps), 4096)
+        # XLA's TPU FFT throughput rises steeply with transform size
+        # (measured 2^21-batch, 1024 taps: 4096 -> 4.05 Gsps, 16384 ->
+        # 5.49, 32768 -> 3.16 — BASELINE.md config-3 ledger), so scale the
+        # segment size with the batch up to the measured 16k optimum while
+        # keeping >= 4x taps for overlap efficiency.
+        fft_size = max(_good_fft_size(4 * ntaps),
+                       min(_good_fft_size(max(n_lin // 128, 1)), 16384),
+                       4096)
         fft_size = min(fft_size, _good_fft_size(n_lin + ntaps - 1))
     step = fft_size - (ntaps - 1)
     nseg = -(-n_lin // step)
@@ -298,10 +323,10 @@ def fir_filter(
             method = "mxu"
         else:
             method = "conv"
-    if method == "mxu" and not taps_static:
+    if method in ("mxu", "mxu3") and not taps_static:
         method = "conv"  # traced taps: tap matrix can't be built at trace time
-    if method == "mxu":
-        y = _mxu_fir(xfull, taps_np, n_out, decim)
+    if method in ("mxu", "mxu3"):
+        y = _mxu_fir(xfull, taps_np, n_out, decim, split3=(method == "mxu3"))
     elif method == "conv":
         y = _conv1d(xfull, taps[::-1], stride=decim)
         y = y[:n_out]

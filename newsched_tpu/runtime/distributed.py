@@ -99,13 +99,30 @@ class Runtime:
     running distributed graph cleanly."""
 
     def __init__(self, partitions: dict[str, Flowgraph],
-                 total_items: dict[str, int] | None = None):
+                 total_items: dict[str, int] | None = None,
+                 control_addresses: dict[str, str] | None = None):
         self.partitions = partitions
         self.total_items = total_items or {}
         self._threads: list[threading.Thread] = []
         self._errors: dict[str, str] = {}
         self._error_order: list[str] = []
         self._runners: dict[str, object] = {}
+        # Cross-process control plane (reference: runtime_proxy mirroring
+        # param/message actions between processes, SURVEY.md §4.5): one
+        # ControlServer per named partition; remote RuntimeClients can
+        # set_param/post_msg/stop blocks living here mid-run.
+        self._control_servers: list = []
+        for name, addr in (control_addresses or {}).items():
+            if name not in partitions:
+                raise ValueError(f"control address for unknown partition "
+                                 f"{name!r}")
+            from newsched_tpu.runtime.control import ControlServer
+
+            def _blk(bname, _fg=partitions[name]):
+                return next((b for b in _fg.blocks if b.name == bname), None)
+
+            self._control_servers.append(ControlServer(
+                addr, lambda _n=name: self._runners.get(_n), _blk))
 
     def start(self) -> None:
         from newsched_tpu.runtime.block import StreamAborted
@@ -152,6 +169,9 @@ class Runtime:
     def wait(self) -> None:
         for t in self._threads:
             t.join()
+        for s in self._control_servers:
+            s.close()
+        self._control_servers.clear()
         if self._errors:
             first = self._error_order[0] if self._error_order else next(iter(self._errors))
             raise RuntimeError(

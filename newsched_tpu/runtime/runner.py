@@ -238,11 +238,12 @@ class Runner:
                     break
                 bt0 = time.monotonic() if self.collect_stats else 0.0
                 self._drain_msgs()
-                if self._dirty_params:
-                    for name in self._dirty_params:
-                        blk = next(b for b in self.cfg.order if b.name == name)
-                        params[name] = cplx.encode(blk.param_leaves())
-                    self._dirty_params.clear()
+                # snapshot-then-clear: remote ControlServer threads may
+                # add names concurrently (runtime/control.py)
+                dirty, self._dirty_params = self._dirty_params, set()
+                for name in dirty:
+                    blk = next(b for b in self.cfg.order if b.name == name)
+                    params[name] = cplx.encode(blk.param_leaves())
                 host_ins = cplx.encode(
                     {b.name: b.host_pull(self.cfg.n_out[b.name]) for b in pullers}
                 )
@@ -479,11 +480,10 @@ class Runner:
         per_sink: dict[str, list] = {name: [] for name in self.cfg.sink_totals}
         while not self._stop.is_set():
             self._drain_msgs()
-            if self._dirty_params:
-                for name in self._dirty_params:
-                    blk = next(b for b in self.cfg.order if b.name == name)
-                    params[name] = cplx.encode(blk.param_leaves())
-                self._dirty_params.clear()
+            dirty, self._dirty_params = self._dirty_params, set()
+            for name in dirty:
+                blk = next(b for b in self.cfg.order if b.name == name)
+                params[name] = cplx.encode(blk.param_leaves())
             states, stacked = run_chunk(states, params)
             host = jax.device_get(stacked)
             for name, v in host.items():

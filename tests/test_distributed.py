@@ -232,3 +232,116 @@ def test_downstream_process_death_raises_upstream():
     finally:
         if child.poll() is None:
             child.kill()
+
+
+def test_remote_control_set_param_mid_stream_threads():
+    """Round-4 cross-process control plane (reference runtime_proxy
+    param mirroring): a RuntimeClient changes a multiply_const's k in a
+    RUNNING partition through its ControlServer; the output switches
+    value mid-stream at a batch boundary."""
+    import time
+
+    from newsched_tpu.runtime.control import RuntimeClient
+
+    n = 40960
+    fg = Flowgraph(batch_size=512)
+    src = general.vector_source(np.ones(1024, np.complex64), repeat=True)
+    thr = general.throttle(40000.0)  # ~1 s of stream: time to poke it
+    mc = gmath.multiply_const(2.0 + 0.0j, dtype="cf32", name="mc_remote")
+    snk = general.vector_sink()
+    fg.connect(src, 0, thr, 0)
+    fg.connect(thr, 0, mc, 0)
+    fg.connect(mc, 0, snk, 0)
+    parts = partition_flowgraph(fg, {"dsp": [src, thr, mc],
+                                     "collect": [snk]})
+    addr = "tcp://127.0.0.1:53471"
+    rt = Runtime(parts, total_items={"collect": n, "dsp": n},
+                 control_addresses={"dsp": addr})
+    rt.start()
+    ctl = RuntimeClient(addr)
+    ctl.ping()
+    time.sleep(0.35)
+    assert complex(ctl.get_param("mc_remote", "k")) == 2.0
+    ctl.set_param("mc_remote", "k", 5.0 + 0.0j)
+    rt.wait()
+    ctl.close()
+    got = np.real(snk.data())
+    assert got.shape == (n,)
+    assert got[0] == 2.0 and got[-1] == 5.0, (got[0], got[-1])
+    # single clean switch at a batch boundary
+    uniq = set(np.unique(got).tolist())
+    assert uniq == {2.0, 5.0}
+    switch = np.nonzero(np.diff(got))[0]
+    assert len(switch) == 1
+
+
+CONTROLLED_SENDER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from newsched_tpu import Flowgraph
+from newsched_tpu.blocks import general, math as gmath
+from newsched_tpu.runtime.distributed import Runtime
+
+data_addr, ctl_addr = sys.argv[1], sys.argv[2]
+fg = Flowgraph(batch_size=512)
+src = general.vector_source(np.ones(1024, np.complex64), repeat=True)
+thr = general.throttle(60000.0)
+mc = gmath.multiply_const(2.0 + 0.0j, dtype="cf32", name="mc_remote")
+fg.connect(src, 0, thr, 0)
+fg.connect(thr, 0, mc, 0)
+from newsched_tpu.runtime.distributed import partition_flowgraph
+from newsched_tpu.blocks import zmq as zb
+snk = zb.push_sink(data_addr, bind=True, name="push0")
+fg.connect(mc, 0, snk, 0)
+rt = Runtime({"dsp": fg}, total_items={"dsp": 30720},
+             control_addresses={"dsp": ctl_addr})
+try:
+    rt.run()
+except RuntimeError:
+    pass  # downstream closed after head: expected teardown
+"""
+
+
+def test_remote_control_true_multiprocess():
+    """Real process boundary: the parent retunes a block running in a
+    CHILD process mid-stream (set_param over the control socket) and
+    observes the received stream switch value — the reference's
+    runtime_proxy param-action mirroring, demonstrated end-to-end."""
+    import time
+
+    from newsched_tpu.blocks import zmq as zb
+    from newsched_tpu.runtime.control import RuntimeClient
+
+    data_addr = "tcp://127.0.0.1:53472"
+    ctl_addr = "tcp://127.0.0.1:53473"
+    n = 30720
+    child = subprocess.Popen(
+        [sys.executable, "-c", CONTROLLED_SENDER, data_addr, ctl_addr],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    try:
+        fg = Flowgraph(batch_size=512)
+        src = zb.pull_source(data_addr, bind=False)
+        hd = general.head(n)
+        snk = general.vector_sink()
+        fg.connect(src, 0, hd, 0)
+        fg.connect(hd, 0, snk, 0)
+        runner = fg.start()
+
+        ctl = RuntimeClient(ctl_addr, timeout_ms=15000)
+        ctl.ping()
+        time.sleep(0.3)
+        ctl.set_param("mc_remote", "k", 7.0 + 0.0j)
+        runner.wait()
+        fg._runner = None
+        ctl.close()
+        got = np.real(snk.data())
+        assert got[0] == 2.0 and got[-1] == 7.0, (got[0], got[-1])
+        assert set(np.unique(got).tolist()) == {2.0, 7.0}
+    finally:
+        try:
+            child.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            child.kill()
+            child.wait()
