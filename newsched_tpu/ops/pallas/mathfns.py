@@ -83,3 +83,63 @@ def atan2(y, x, deg: int = _DEG):
     a = jnp.where(ay > ax, pi * 0.5 - a, a)
     a = jnp.where(x < 0, pi - a, a)
     return jnp.where(y < 0, -a, a)
+
+
+# ---------------------------------------------------------------------------
+# sin/cos of a turn fraction (Mosaic has no sin/cos lowering either)
+
+_QW_DEG = 5  # quarter-wave polynomial degree in f^2
+
+
+def _fit_quarter_wave():
+    """Minimax-ish (least squares on Chebyshev nodes) polynomials for
+    sin(pi/2 * f) (odd, coeffs over f * (f^2)^k) and cos(pi/2 * f)
+    (even, coeffs over (f^2)^k) on f in [0, 1]."""
+    n = 2048
+    f = (1 - np.cos(np.pi * (np.arange(n) + 0.5) / n)) / 2
+    w = f * f
+    As = np.stack([f * w**k for k in range(_QW_DEG + 1)], axis=1)
+    cs, *_ = np.linalg.lstsq(As, np.sin(np.pi / 2 * f), rcond=None)
+    Ac = np.stack([w**k for k in range(_QW_DEG + 1)], axis=1)
+    cc, *_ = np.linalg.lstsq(Ac, np.cos(np.pi / 2 * f), rcond=None)
+    return cs.astype(np.float32), cc.astype(np.float32)
+
+
+_SIN_C, _COS_C = _fit_quarter_wave()
+for _name, _c, _ref in (("sin", _SIN_C, np.sin), ("cos", _COS_C, np.cos)):
+    _f = np.linspace(0, 1, 4001)
+    _w = _f * _f
+    _acc = np.zeros_like(_f)
+    for _k in range(_QW_DEG, -1, -1):
+        _acc = _acc * _w + _c[_k]
+    _val = _acc * _f if _name == "sin" else _acc
+    assert np.abs(_val - _ref(np.pi / 2 * _f)).max() < 3e-7, _name
+
+
+def sin_cos_turns(t):
+    """(sin(2*pi*t), cos(2*pi*t)) for float32 ``t`` in turns (any range;
+    reduced mod 1). Quarter-wave polynomials + quadrant logic, VPU-only
+    ops; max error ~3e-7 + the f32 resolution of t — the same class as
+    XLA's f32 sincos, for use inside Pallas kernels (NCO sources,
+    rotators)."""
+    t = t - jnp.floor(t)           # [0, 1)
+    u = t * jnp.float32(4.0)
+    q = jnp.floor(u)
+    f = u - q                      # quarter-phase in [0, 1)
+    # evaluate both quarter-wave polys at f and at 1-f (the mirrored
+    # argument): sin/cos of the quadrant remainder
+    w = f * f
+    acc_s = jnp.full_like(f, _SIN_C[_QW_DEG])
+    acc_c = jnp.full_like(f, _COS_C[_QW_DEG])
+    for k in range(_QW_DEG - 1, -1, -1):
+        acc_s = acc_s * w + jnp.float32(_SIN_C[k])
+        acc_c = acc_c * w + jnp.float32(_COS_C[k])
+    s1 = acc_s * f                 # sin(pi/2 f)
+    c1 = acc_c                     # cos(pi/2 f)
+    q0 = q == 0.0
+    q1 = q == 1.0
+    q2 = q == 2.0
+    # quadrant map: (sin, cos) = q0:(s1,c1) q1:(c1,-s1) q2:(-s1,-c1) q3:(-c1,s1)
+    sin = jnp.where(q0, s1, jnp.where(q1, c1, jnp.where(q2, -s1, -c1)))
+    cos = jnp.where(q0, c1, jnp.where(q1, -s1, jnp.where(q2, -c1, s1)))
+    return sin, cos

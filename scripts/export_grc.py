@@ -91,6 +91,7 @@ EXAMPLE_ARGS: dict[str, tuple] = {
     "fm_channelizer_fused": (8, None, _TAPS),
     "fm_channelizer_fused_planes": (64, None, _TAPS),
     "fm_noise_channelizer_source": (64, None, _TAPS),
+    "wbfm_rcv_fused": (_TAPS, 100e3, 1e6),
     "cplx_to_planes": (8,),
     "noise_planes_source": (8,),
     # yml-described blocks with static params

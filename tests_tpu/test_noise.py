@@ -176,3 +176,29 @@ def test_wbfm_fused_compiled_on_tpu_snr():
     err = ref - a.astype(np.float64)
     snr = 10 * np.log10(np.mean(ref ** 2) / np.mean(err ** 2))
     assert snr > 60, f"wbfm fused split3 SNR {snr:.1f} dB"
+
+
+def test_sig_source_pallas_nco_on_tpu():
+    """sig_source's on-chip NCO path (ops/pallas/sources.py): the emitted
+    tone matches the float64 fxpt-NCO golden at f32 class (>90 dB), and
+    streaming batches continue phase exactly."""
+    from newsched_tpu import Flowgraph
+    from newsched_tpu.blocks import analog, general
+    from newsched_tpu.ops import nco
+
+    fs, freq, n = 1e6, 123_456.0, 3 * 8192
+    src = analog.sig_source(fs, "complex", frequency=freq, amplitude=0.8)
+    hd = general.head(n)
+    snk = general.vector_sink()
+    fg = Flowgraph(batch_size=8192)
+    fg.connect(src, 0, hd, 0)
+    fg.connect(hd, 0, snk, 0)
+    fg.run()
+    y = snk.data()
+    dphase = np.uint64(nco.freq_to_dphase(freq, fs))
+    acc = (np.arange(n, dtype=np.uint64) * dphase) & np.uint64(0xFFFFFFFF)
+    ph = 2 * np.pi * (acc.astype(np.float64) / 2.0 ** 32)
+    ref = 0.8 * np.exp(1j * ph)
+    err = ref - y.astype(np.complex128)
+    snr = 10 * np.log10(np.mean(np.abs(ref) ** 2) / np.mean(np.abs(err) ** 2))
+    assert snr > 90, f"NCO source SNR {snr:.1f} dB"
