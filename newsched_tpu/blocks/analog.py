@@ -49,8 +49,11 @@ class sig_source(Block):
         return {"phase": jnp.zeros((), jnp.uint32)}
 
     def _use_pallas(self, nout: int) -> bool:
+        from newsched_tpu.runtime import meshctx
+
         return (self.waveform in ("complex", "cos", "sin")
                 and nout % 1024 == 0
+                and meshctx.current() is None  # pallas_call: no SPMD rule
                 and jax.default_backend() not in ("cpu",))
 
     def work(self, state, ins, params, nout):
@@ -113,7 +116,13 @@ class noise_source(Block):
 
     def _use_pallas(self, nout: int) -> bool:
         from newsched_tpu.ops.pallas.noise import GROUP_ROWS
+        from newsched_tpu.runtime import meshctx
 
+        if meshctx.current() is not None:
+            if self.method == "pallas":
+                raise ValueError("noise_source(method='pallas') cannot run "
+                                 "under fg.run(mesh=...): use 'threefry'")
+            return False  # pallas_call has no SPMD partitioning rule
         complex_out = self.dtype.name == "cf32"
         words = nout * (2 if complex_out else 1)
         ok = (self.noise_type == "gaussian"
@@ -131,6 +140,17 @@ class noise_source(Block):
         if self._use_pallas(nout):
             return {"ghi": jnp.zeros((), jnp.int32),
                     "glo": jnp.zeros((), jnp.int32)}
+        return {"key": jax.random.PRNGKey(self.seed)}
+
+    def init_state_sharded(self, nin, nout, mesh, axis):
+        # Graph-mesh runs always take the threefry path (work() branches
+        # on the state's shape): XLA's SPMD partitioner cannot split a
+        # pallas_call. The gen-fused source blocks shard via work_sharded.
+        if self.method == "pallas":
+            raise ValueError(
+                f"{type(self).__name__}(method='pallas') cannot run under "
+                f"fg.run(mesh=...): use method='threefry' (or 'auto') or "
+                f"a gen-fused source block")
         return {"key": jax.random.PRNGKey(self.seed)}
 
     def work(self, state, ins, params, nout):

@@ -230,8 +230,20 @@ class noise_planes_source(Block):
 
     def _use_pallas(self, nout: int) -> bool:
         from newsched_tpu.ops.pallas.noise import GROUP_ROWS
+        from newsched_tpu.runtime import meshctx
 
         if self.method == "threefry":
+            return False
+        if meshctx.current() is not None:
+            # Under graph-mesh lowering XLA's SPMD partitioner cannot split
+            # a pallas_call; the threefry path partitions cleanly. (The
+            # mega-kernel blocks shard via their work_sharded hooks
+            # instead.)
+            if self.method == "pallas":
+                raise ValueError(
+                    "noise_planes_source(method='pallas') cannot run under "
+                    "fg.run(mesh=...): use method='threefry' or the "
+                    "gen-fused source block")
             return False
         on_tpu = jax.default_backend() not in ("cpu",)
         if self.method == "pallas":
@@ -249,6 +261,17 @@ class noise_planes_source(Block):
         if self._use_pallas(nout):
             return {"ghi": jnp.zeros((), jnp.int32),
                     "glo": jnp.zeros((), jnp.int32)}
+        return {"key": jax.random.PRNGKey(self.seed)}
+
+    def init_state_sharded(self, nin, nout, mesh, axis):
+        # Graph-mesh runs always take the threefry path (work() branches
+        # on the state's shape): XLA's SPMD partitioner cannot split a
+        # pallas_call. The gen-fused source blocks shard via work_sharded.
+        if self.method == "pallas":
+            raise ValueError(
+                f"{type(self).__name__}(method='pallas') cannot run under "
+                f"fg.run(mesh=...): use method='threefry' (or 'auto') or "
+                f"a gen-fused source block")
         return {"key": jax.random.PRNGKey(self.seed)}
 
     def work(self, state, ins, params, nout):
