@@ -19,9 +19,11 @@ every Toeplitz matmul then processes 64 stream positions per MXU pass.
 1-sample-memory demod, so the chain has FINITE memory: column s's first
 outputs are recomputed from the last `B8` raw input rows of column s-1
 (lane-rolled; column 0 reads the previous BATCH's bottom rows via the
-carry state) and the warm-up outputs are discarded. Outputs are
-therefore EXACTLY the infinite-stream values for every sample — batch
-size, fold width, and sharding cannot change them (the same warm-up
+carry state) and the warm-up outputs are discarded. In exact arithmetic the outputs
+are therefore EXACTLY the infinite-stream values for every sample (in
+f32 the junction state is reproduced through a differently-shaped
+Toeplitz, leaving ulp-level rounding differences — property-tested at
+>110 dB); batch size, fold width, and sharding cannot change them (the same warm-up
 argument as the sharded channelizer, parallel/channelizer.py, where it
 is a per-device mechanism; here it is per-lane).
 
