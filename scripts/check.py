@@ -29,7 +29,8 @@ CPU_ENV = {
 }
 
 EXAMPLES = ["fm_receiver.py", "channelizer.py", "yaml_block.py",
-            "distributed_pipeline.py", "sharded_channelizer.py"]
+            "distributed_pipeline.py", "sharded_channelizer.py",
+            "live_flagship.py"]
 
 
 def run(cmd, timeout, env=None, label=""):
