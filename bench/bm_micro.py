@@ -174,6 +174,22 @@ def bm_wbfm_fused(n: int = 64 * 32640 * 16, batch: int = 64 * 32640):
     return _time_graph(lambda: mk(n), n, batch, lambda: mk(4 * n))
 
 
+def bm_wbfm_live(n: int = 64 * 32640 * 16, batch: int = 64 * 32640):
+    """Config #1 fully LIVE: the gen-fused wbfm source kernel (NCO tone
+    generated in VMEM inside the chain — zero input HBM traffic;
+    models.wbfm_receiver(source="live", fused=True))."""
+    from newsched_tpu.models import wbfm_receiver
+
+    def mk(nn):
+        fg, blocks = wbfm_receiver(fs=1e6, batch_size=batch, sink="null",
+                                   source="live", n_samples=nn // 20,
+                                   fused=True)
+        return fg
+
+    # reference stream = audio items for the live source
+    return _time_graph(lambda: mk(n), n, batch // 20, lambda: mk(4 * n))
+
+
 def bm_fft_filter(ntaps: int = 1024, n: int = 1 << 25, batch: int = 1 << 21):
     """BASELINE config #3 kernel: overlap-save fast convolution."""
     from newsched_tpu.blocks import analog, filter as filt, general
@@ -223,6 +239,7 @@ ALL = {
     "channelizer_fused": bm_channelizer_fused,
     "wbfm": bm_wbfm,
     "wbfm_fused": bm_wbfm_fused,
+    "wbfm_live": bm_wbfm_live,
     "fft_filter": bm_fft_filter,
 }
 

@@ -328,7 +328,8 @@ class wbfm_rcv_fused(Block):
                  decim: int = 4, deviation: float = 75e3,
                  resamp_interp: int = 1, resamp_decim: int = 5,
                  resamp_taps=None, tile: int | None = None,
-                 precision="split3", interpret: bool = False, name=None):
+                 precision="split3", interpret: bool = False,
+                 input_format: str = "cf32", name=None):
         super().__init__(name)
         from fractions import Fraction
 
@@ -338,6 +339,10 @@ class wbfm_rcv_fused(Block):
             raise NotImplementedError(
                 "wbfm_rcv_fused fuses interp-1 resamplers only; use the "
                 "staged wbfm_receiver for rational interpolation")
+        if input_format not in ("cf32", "folded"):
+            raise ValueError(f"input_format {input_format!r} not in "
+                             f"cf32/folded")
+        self.input_format = input_format
         if resamp_taps is None:
             from newsched_tpu.ops import firdes
 
@@ -352,11 +357,19 @@ class wbfm_rcv_fused(Block):
             precision=precision)
         self.tile = tile
         self.interpret = bool(interpret)
-        self.relative_rate = Fraction(1, decim * resamp_decim)
-        # fold width x the kernel's tile step (8*D*Rd rows): keeps the
-        # audio output block 8-row aligned on the chip
-        self.in_multiple = S * 8 * decim * resamp_decim
-        self.add_input("in", "cf32")
+        if input_format == "folded":
+            # items are folded rows (64 samples each, ops/pallas/
+            # wbfm_chain.py layout): zero-conversion live path with
+            # sig_source_folded; per-batch fold semantics, no mesh hook.
+            self.relative_rate = Fraction(S, decim * resamp_decim)
+            self.in_multiple = 8 * decim * resamp_decim
+            self.add_input("in", "rf32", item_shape=(2 * S,))
+        else:
+            self.relative_rate = Fraction(1, decim * resamp_decim)
+            # fold width x the kernel's tile step (8*D*Rd rows): keeps the
+            # audio output block 8-row aligned on the chip
+            self.in_multiple = S * 8 * decim * resamp_decim
+            self.add_input("in", "cf32")
         self.add_output("out", "rf32")
 
     def init_state(self, nin, nout):
@@ -369,7 +382,8 @@ class wbfm_rcv_fused(Block):
                                                         unfold_audio,
                                                         wbfm_chain_step)
 
-        xp = fold_planes(ins["in"])
+        xp = (ins["in"] if self.input_format == "folded"
+              else fold_planes(ins["in"]))
         aud, carry = wbfm_chain_step(xp, state["carry"], self.plan,
                                      tile=self.tile,
                                      interpret=self.interpret)
@@ -379,6 +393,11 @@ class wbfm_rcv_fused(Block):
         return self.init_state(nin, nout)
 
     def work_sharded(self, state, ins, params, nout, mesh, axis):
+        if self.input_format == "folded":
+            raise NotImplementedError(
+                "wbfm_rcv_fused(input_format='folded') has per-batch fold "
+                "semantics and does not shard; use input_format='cf32' "
+                "under fg.run(mesh=...)")
         try:
             from jax import shard_map
         except ImportError:  # older jax
@@ -419,3 +438,112 @@ class wbfm_rcv_fused(Block):
                                 out_specs=(P(axis), P()), check_rep=False)
         y, carry = smapped(ins["in"], state["carry"])
         return {"carry": carry}, {"out": y}
+
+
+class sig_source_folded(Block):
+    """Tone source emitting the TIME-FOLDED-LANES planes stream of the
+    fused wbfm chain (ops/pallas/wbfm_chain.py layout): rf32[(128,)] rows;
+    a batch of R rows carries 64*R consecutive samples, segment s of the
+    batch in lanes (s, 64+s). Zero-conversion partner of
+    wbfm_rcv_fused(input_format="folded") — the fused chain's live source
+    pays neither the complex assembly nor the fold transpose
+    (BASELINE.md config-1 live residual). Same fxpt-NCO values as
+    sig_source's pallas path (ops/pallas/sources.py).
+
+    The fold is per-batch, so this source is only meaningful feeding a
+    folded-input consumer compiled at the same batch size (the model
+    builder wires it); it does not shard under fg.run(mesh=...).
+    """
+
+    def __init__(self, sampling_freq: float, frequency: float = 1000.0,
+                 amplitude: float = 1.0, interpret: bool = False, name=None):
+        super().__init__(name)
+        self.sampling_freq = float(sampling_freq)
+        self.interpret = bool(interpret)
+        self.add_output("out", "rf32", item_shape=(128,))
+        self.declare_param("dphase", nco.freq_to_dphase(frequency, sampling_freq),
+                           dtype=np.uint32)
+        self.declare_param("amplitude", amplitude, dtype=np.float32)
+
+    def set_frequency(self, freq: float) -> None:
+        self.set_param("dphase", nco.freq_to_dphase(freq, self.sampling_freq))
+
+    def init_state(self, nin, nout):
+        return {"phase": jnp.zeros((), jnp.uint32)}
+
+    def work(self, state, ins, params, nout):
+        from newsched_tpu.ops.pallas.sources import nco_folded
+
+        out = nco_folded(state["phase"], params["dphase"],
+                         params["amplitude"], R=int(nout),
+                         interpret=self.interpret)
+        return ({"phase": nco.nco_advance(state["phase"], params["dphase"],
+                                          64 * int(nout))}, {"out": out})
+
+
+class wbfm_live_source(Block):
+    """The LIVE wbfm receiver as ONE source kernel: the fxpt-NCO test
+    tone is generated in VMEM inside the fused chain
+    (ops/pallas/wbfm_chain.py wbfm_chain_live_step) — zero input HBM
+    traffic and the only stream state is the phase counter. Emits the
+    scalar rf32 audio stream directly; bit-identical to
+    ``sig_source_folded -> wbfm_rcv_fused(input_format="folded")`` with
+    the same tone/chain parameters. The wbfm twin of
+    ``fm_noise_channelizer_source``. TPU only unless interpret=True.
+    """
+
+    def __init__(self, chan_taps, center_freq: float, fs: float,
+                 decim: int = 4, deviation: float = 75e3,
+                 resamp_interp: int = 1, resamp_decim: int = 5,
+                 resamp_taps=None, frequency: float = 0.0,
+                 amplitude: float = 1.0, tile: int | None = None,
+                 precision="split3", interpret: bool = False, name=None):
+        super().__init__(name)
+        from newsched_tpu.ops.pallas.wbfm_chain import WbfmChainPlan
+
+        if resamp_interp != 1:
+            raise NotImplementedError("interp-1 resamplers only")
+        if resamp_taps is None:
+            from newsched_tpu.ops import firdes
+
+            cutoff = 0.45 / max(resamp_interp, resamp_decim)
+            trans = 0.1 / max(resamp_interp, resamp_decim)
+            resamp_taps = firdes.low_pass(resamp_interp, 1.0, cutoff, trans)
+        quad_rate = fs / decim
+        self.plan = WbfmChainPlan(
+            np.asarray(chan_taps), int(nco.freq_to_dphase(center_freq, fs)),
+            decim, np.asarray(resamp_taps), resamp_decim,
+            demod_gain=quad_rate / (2 * np.pi * deviation),
+            precision=precision)
+        self.sampling_freq = float(fs)
+        self.tile = tile
+        self.interpret = bool(interpret)
+        self.add_output("out", "rf32")
+        self.declare_param("dphase", nco.freq_to_dphase(frequency, fs),
+                           dtype=np.uint32, doc="tone phase increment")
+        self.declare_param("amplitude", amplitude, dtype=np.float32)
+
+    def set_frequency(self, freq: float) -> None:
+        self.set_param("dphase", nco.freq_to_dphase(freq, self.sampling_freq))
+
+    def init_state(self, nin, nout):
+        return {"phase": jnp.zeros((), jnp.uint32),
+                "first": jnp.ones((), jnp.int32)}
+
+    def work(self, state, ins, params, nout):
+        from newsched_tpu.ops.pallas.wbfm_chain import (S, unfold_audio,
+                                                        wbfm_chain_live_step)
+
+        D, Rd = self.plan.D, self.plan.Rd
+        if (int(nout) * D * Rd) % S:
+            raise ValueError(f"audio batch {nout} not a multiple of "
+                             f"{S // np.gcd(S, D * Rd)} items (fold width)")
+        R = int(nout) * D * Rd // S
+        aud = wbfm_chain_live_step(state["phase"], params["dphase"],
+                                   params["amplitude"], state["first"],
+                                   self.plan, R, tile=self.tile,
+                                   interpret=self.interpret)
+        return ({"phase": nco.nco_advance(state["phase"], params["dphase"],
+                                          S * R),
+                 "first": jnp.zeros((), jnp.int32)},
+                {"out": unfold_audio(aud)})

@@ -64,10 +64,46 @@ def wbfm_receiver(fs: float = 1_000_000.0, center_freq: float = 200_000.0,
     quad_rate = fs / quad_rate_decim
     chan_taps = firdes.low_pass(1.0, fs, 100e3, 30e3)
     interp, decim = audio_decim
-    fg = Flowgraph("wbfm_receiver", batch_size=batch_size)
+    if source == "live" and not fused:
+        raise ValueError("source='live' requires fused=True")
+    bsz = batch_size
+    if source == "live" and batch_size is not None:
+        # reference stream = audio items for the gen-fused live source
+        bsz = max(batch_size // (quad_rate_decim * audio_decim[1]), 1)
+    fg = Flowgraph("wbfm_receiver", batch_size=bsz)
     if source is None:
         source = analog.sig_source(fs, "complex", frequency=0.0)
     if fused:
+        live = source == "live"
+        if live:
+            # The LIVE receiver as ONE gen-fused source kernel (NCO tone
+            # generated in VMEM inside the chain — round-4 config-1
+            # ledger; the two-kernel path is sig_source_folded ->
+            # wbfm_rcv_fused(input_format="folded"), bit-identical).
+            fused_blk = analog.wbfm_live_source(
+                chan_taps, center_freq, fs, decim=quad_rate_decim,
+                deviation=deviation, resamp_interp=interp,
+                resamp_decim=decim, frequency=center_freq,
+                precision=precision, interpret=interpret)
+            source = fused_blk
+            snk = (general.vector_sink(dtype="rf32") if sink == "vector"
+                   else general.null_sink(dtype="rf32"))
+            tail = fused_blk
+            deemph = None
+            if deemph_tau is not None:
+                audio_rate = quad_rate * interp / decim
+                deemph = analog.fm_deemph(audio_rate, tau=deemph_tau)
+                fg.connect(fused_blk, 0, deemph, 0)
+                tail = deemph
+            if n_samples is not None:
+                hd = general.head(n_samples, dtype="rf32")
+                fg.connect(tail, 0, hd, 0)
+                fg.connect(hd, 0, snk, 0)
+            else:
+                fg.connect(tail, 0, snk, 0)
+            return fg, {"source": source, "fused": fused_blk,
+                        "xlate": fused_blk, "demod": fused_blk,
+                        "resamp": fused_blk, "deemph": deemph, "sink": snk}
         fused_blk = analog.wbfm_rcv_fused(
             chan_taps, center_freq, fs, decim=quad_rate_decim,
             deviation=deviation, resamp_interp=interp, resamp_decim=decim,

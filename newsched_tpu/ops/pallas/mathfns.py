@@ -122,10 +122,14 @@ def sin_cos_turns(t):
     ops; max error ~3e-7 + the f32 resolution of t — the same class as
     XLA's f32 sincos, for use inside Pallas kernels (NCO sources,
     rotators)."""
-    t = t - jnp.floor(t)           # [0, 1)
+    t = t - jnp.floor(t)           # [0, 1) — except: for t a hair below an
+    # integer turn, the f32 subtraction rounds to EXACTLY 1.0, which would
+    # put u=4.0 in quadrant 4 (unhandled -> sin jumps to -1; found by the
+    # wbfm live-source golden gate). Wrap the quadrant back to 0.
     u = t * jnp.float32(4.0)
     q = jnp.floor(u)
     f = u - q                      # quarter-phase in [0, 1)
+    q = jnp.where(q >= 4.0, q - jnp.float32(4.0), q)
     # evaluate both quarter-wave polys at f and at 1-f (the mirrored
     # argument): sin/cos of the quadrant remainder
     w = f * f

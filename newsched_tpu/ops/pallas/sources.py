@@ -72,3 +72,49 @@ def nco_planes(phase0, dphase, amp, *, n: int, tile: int = 512,
       jax.lax.bitcast_convert_type(
         jnp.reshape(jnp.asarray(dphase, jnp.uint32), (1,)), jnp.int32),
       jnp.reshape(jnp.asarray(amp, jnp.float32), (1,)))
+
+
+def _nco_folded_kernel(ph_ref, dp_ref, amp_ref, out_ref, *, T: int, R: int):
+    i = pl.program_id(0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 1)
+    seg = lane & jnp.int32(63)
+    # time-folded-lanes sample index: segment s covers samples [s*R, (s+1)*R)
+    idx = seg * jnp.int32(R) + jnp.int32(i) * jnp.int32(T) + row
+    phase = ph_ref[0] + idx * dp_ref[0]
+    t = phase.astype(jnp.float32) * jnp.float32(_T2)
+    s, c = sin_cos_turns(t)
+    out_ref[:, :] = jnp.where(lane < jnp.int32(64), c, s) * amp_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("R", "tile", "interpret"))
+def nco_folded(phase0, dphase, amp, *, R: int, tile: int = 512,
+               interpret: bool = False):
+    """(R, 128) f32 TIME-FOLDED-LANES planes (ops/pallas/wbfm_chain.py
+    layout: lane s = re(segment s), lane 64+s = im) of one batch of
+    64*R samples of amp * exp(j*2*pi*acc(k)/2^32) — the zero-conversion
+    live source for the fused wbfm chain: no complex assembly, no fold
+    transpose. R must be a multiple of 8."""
+    if R % 8:
+        raise ValueError(f"R {R} must be a multiple of 8")
+    tile = min(tile, R)
+    while R % tile:
+        tile -= 8
+    kernel = functools.partial(_nco_folded_kernel, T=tile, R=R)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(R // tile,),
+        in_specs=[smem, smem, smem],
+        out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, 128), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * R * 128, bytes_accessed=R * 128 * 4,
+            transcendentals=R * 128),
+        interpret=interpret,
+    )(jax.lax.bitcast_convert_type(
+        jnp.reshape(jnp.asarray(phase0, jnp.uint32), (1,)), jnp.int32),
+      jax.lax.bitcast_convert_type(
+        jnp.reshape(jnp.asarray(dphase, jnp.uint32), (1,)), jnp.int32),
+      jnp.reshape(jnp.asarray(amp, jnp.float32), (1,)))

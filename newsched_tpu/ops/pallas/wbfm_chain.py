@@ -186,6 +186,81 @@ def _kernel(local_hbm, bnd_ref, hwr, hwi, hxr, hxi, hxr_hi, hxr_lo,
         ctail[:, :] = d[T // D - (A - 1):, :]
 
 
+def _gen_window(ph_ref, dp_ref, amp_ref, b0_ref, r_lo: int, rows: int,
+                R: int):
+    """Generate folded-lanes NCO samples for within-batch rows
+    [r_lo, r_lo + rows) of every segment: element (w, lane) is batch
+    sample seg*R + r_lo + w (seg = lane mod 64), phase = ph0 + idx*dphase
+    (uint32 wraparound). Negative batch indices (only reachable on the
+    FIRST batch, flagged by b0_ref) are the pre-stream region and emit 0
+    — matching the cf32 graph's zero initial state. No DMA, no lane roll,
+    no carry: every window of the live chain is a pure function of the
+    phase counter."""
+    from newsched_tpu.ops.pallas.mathfns import sin_cos_turns
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 2 * S), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 2 * S), 1)
+    seg = lane & jnp.int32(S - 1)
+    idx = seg * jnp.int32(R) + jnp.int32(r_lo) + row
+    phase = ph_ref[0] + idx * dp_ref[0]
+    t = phase.astype(jnp.float32) * jnp.float32(1.0 / (1 << 32))
+    sn, cs = sin_cos_turns(t)
+    val = jnp.where(lane < jnp.int32(S), cs, sn) * amp_ref[0]
+    pre = (b0_ref[0] != 0) & (idx < 0)
+    return jnp.where(pre, jnp.float32(0.0), val)
+
+
+def _kernel_live(ph_ref, dp_ref, amp_ref, b0_ref,
+                 hwr, hwi, hxr, hxi, hxr_hi, hxr_lo, hxi_hi, hxi_lo,
+                 haud, haud_hi, haud_lo,
+                 aud_ref, cprev, ctail, *,
+                 T: int, W8: int, B8: int, D: int, Rd: int, A: int,
+                 warm_out: int, NT: int, R: int, cos_t: float, sin_t: float,
+                 gain: float, precision):
+    """Live variant of ``_kernel``: the window is GENERATED in VMEM (fxpt
+    NCO + polynomial sincos) instead of DMA'd — the whole live wbfm
+    receiver becomes one source kernel with zero input HBM traffic (the
+    wbfm twin of fm_chain's gen mode). Grid step 0 = warm-up from the
+    generated boundary region; steps 1..NT = steady tiles."""
+    i = pl.program_id(0)
+    deg = 5 if precision == "split3" else 9
+
+    @pl.when(i == 0)
+    def _():
+        bnd = _gen_window(ph_ref, dp_ref, amp_ref, b0_ref, -B8, B8, R)
+        d_w = _xlate_demod(_Val(bnd), cprev, hwr, hwi, None, None,
+                           n_out=warm_out, cos_t=cos_t, sin_t=sin_t,
+                           gain=gain, deg=deg, precision=precision,
+                           first_prev_zero=True)
+        ctail[:, :] = d_w[warm_out - (A - 1):, :]
+
+    @pl.when(i >= 1)
+    def _():
+        win = _gen_window(ph_ref, dp_ref, amp_ref, b0_ref,
+                          (i - 1) * T - W8, W8 + T, R)
+        d = _xlate_demod(_Val(win), cprev, hxr, hxi,
+                         (hxr_hi, hxr_lo), (hxi_hi, hxi_lo),
+                         n_out=T // D, cos_t=cos_t, sin_t=sin_t, gain=gain,
+                         deg=deg, precision=precision,
+                         first_prev_zero=False)
+        audfull = jnp.concatenate([ctail[:, :], d], axis=0)
+        aud_ref[:, :] = _mm(haud[:, :], audfull, precision,
+                            a_split=(haud_hi[:, :], haud_lo[:, :]))
+        ctail[:, :] = d[T // D - (A - 1):, :]
+
+
+class _Val:
+    """Adapter presenting a VALUE as the `[:, :]`-indexable ref interface
+    `_xlate_demod` expects (its window argument is a Ref on the DMA path,
+    a generated array on the live path)."""
+
+    def __init__(self, v):
+        self._v = v
+
+    def __getitem__(self, _):
+        return self._v
+
+
 def _pick_tile(R: int, W8: int, D: int, Rd: int, A: int,
                target: int = 640) -> int:
     """Largest tile <= max(target, minimum) that divides R, is a multiple
@@ -328,3 +403,69 @@ def fold_planes(x: jax.Array) -> jax.Array:
 def unfold_audio(aud: jax.Array) -> jax.Array:
     """(R_a, 2S) dup-halves audio -> (R_a * S,) scalar stream order."""
     return aud[:, :S].T.reshape(-1)
+
+
+def wbfm_chain_live_step(phase0, dphase, amp, first_batch, plan,
+                         R: int, tile: int | None = None,
+                         interpret: bool = False):
+    """One batch of the LIVE wbfm receiver: a fxpt-NCO tone is generated
+    in VMEM and demodulated in the same kernel pass — zero input HBM
+    traffic, and the only stream state is the phase counter (+ a
+    first-batch flag for the pre-stream zero region). Returns audio
+    (R // (D*Rd), 2S) dup-halves planes (unfold with unfold_audio).
+
+    Bit-equality contract: identical to sig_source_folded(same freq/amp)
+    -> wbfm_rcv_fused(input_format='folded') — the generated window
+    values are the same fxpt-NCO polynomial samples."""
+    D, Rd, A = plan.D, plan.Rd, plan.A
+    T = tile or _pick_tile(R, plan.W8, D, Rd, A)
+    if R % T or T < plan.W8 or R < plan.B8:
+        raise ValueError(f"invalid live tile/fold: R={R}, T={T}, "
+                         f"W8={plan.W8}, B8={plan.B8}")
+    Hwr, Hwi = xlate_toeplitz(plan.c_rot, plan.warm_out, D,
+                              plan.B8 - plan.warm_out * D)
+    Hwr, Hwi = _pad_w(Hwr, plan.B8), _pad_w(Hwi, plan.B8)
+    Hxr, Hxi = xlate_toeplitz(plan.c_rot, T // D, D, plan.W8)
+    Hxr, Hxi = _pad_w(Hxr, plan.W8 + T), _pad_w(Hxi, plan.W8 + T)
+    Haud = audio_toeplitz(plan.resamp_taps, T // D, Rd)
+    Hxr_hi, Hxr_lo = _presplit(Hxr)
+    Hxi_hi, Hxi_lo = _presplit(Hxi)
+    Haud_hi, Haud_lo = _presplit(Haud)
+    NT = R // T
+    kernel = functools.partial(
+        _kernel_live, T=T, W8=plan.W8, B8=plan.B8, D=D, Rd=Rd, A=A,
+        warm_out=plan.warm_out, NT=NT, R=R, cos_t=plan.cos_t,
+        sin_t=plan.sin_t, gain=plan.gain, precision=plan.precision)
+    n_aud = R // (D * Rd)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    aud = pl.pallas_call(
+        kernel,
+        grid=(NT + 1,),
+        in_specs=[smem] * 4 + [vmem] * 11,
+        out_specs=pl.BlockSpec(
+            (T // (D * Rd), 2 * S),
+            lambda i: (jax.lax.max(i - 1, 0), 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_aud, 2 * S), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, 2 * S), jnp.float32),
+            pltpu.VMEM((A - 1, 2 * S), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * (R // D) * 2 * S * (plan.W8 + T)
+            + 2 * n_aud * 2 * S * (A - 1 + T // D) + 40 * R * 2 * S,
+            bytes_accessed=n_aud * 2 * S * 4,
+            transcendentals=(R + R // D) * 2 * S,
+        ),
+        interpret=interpret,
+    )(jax.lax.bitcast_convert_type(
+        jnp.reshape(jnp.asarray(phase0, jnp.uint32), (1,)), jnp.int32),
+      jax.lax.bitcast_convert_type(
+        jnp.reshape(jnp.asarray(dphase, jnp.uint32), (1,)), jnp.int32),
+      jnp.reshape(jnp.asarray(amp, jnp.float32), (1,)),
+      jnp.reshape(jnp.asarray(first_batch, jnp.int32), (1,)),
+      jnp.asarray(Hwr), jnp.asarray(Hwi), jnp.asarray(Hxr),
+      jnp.asarray(Hxi), Hxr_hi, Hxr_lo, Hxi_hi, Hxi_lo,
+      jnp.asarray(Haud), Haud_hi, Haud_lo)
+    return aud

@@ -183,3 +183,40 @@ def test_wbfm_fused_batch_split_property(seed):
     # resolution, not bitwise.
     np.testing.assert_allclose(a, b, atol=2e-6, rtol=0), split
     assert snr_db(a, b) > 110
+
+
+def test_wbfm_live_source_matches_golden_interpret():
+    """The gen-fused LIVE wbfm source (round 4: NCO tone generated in
+    VMEM inside the chain kernel) matches the float64 staged-semantics
+    golden across streamed batches — fully interpretable on CPU (the
+    polynomial NCO needs no hardware PRNG)."""
+    from newsched_tpu.blocks import analog
+    from newsched_tpu.runtime.graph import Flowgraph
+
+    c, rt, dphase_c, D, Rd, gain = _small_cfg()
+    fs = 1e6
+    center = 0.21 * fs
+    tone = center + 0.02 * fs  # inside the passband, nonzero audio
+    n = 3 * 64 * 160
+    src = analog.wbfm_live_source(c, center, fs, decim=D, deviation=75e3,
+                                  resamp_decim=Rd, resamp_taps=rt,
+                                  frequency=tone, amplitude=0.8,
+                                  interpret=True)
+    hd = general.head(n // (D * Rd), dtype="rf32")
+    snk = general.vector_sink(dtype="rf32")
+    fg = Flowgraph(batch_size=64 * 160 // (D * Rd))
+    fg.connect(src, 0, hd, 0)
+    fg.connect(hd, 0, snk, 0)
+    fg.run()
+    a = snk.data()
+
+    # golden: the same fxpt tone through the staged float64 chain
+    dphase_t = np.uint64(nco.freq_to_dphase(tone, fs))
+    acc = (np.arange(n, dtype=np.uint64) * dphase_t) & np.uint64(0xFFFFFFFF)
+    ph = 2 * np.pi * (acc.astype(np.float64) / 2.0 ** 32)
+    x = 0.8 * np.exp(1j * ph)
+    gain_real = (fs / D) / (2 * np.pi * 75e3)
+    ref = golden_chain(x, c, int(nco.freq_to_dphase(center, fs)), D, rt, Rd,
+                       gain_real)
+    assert a.shape == ref[: len(a)].shape
+    assert snr_db(ref[: len(a)], a) > 100
