@@ -92,6 +92,8 @@ EXAMPLE_ARGS: dict[str, tuple] = {
     "fm_channelizer_fused_planes": (64, None, _TAPS),
     "fm_noise_channelizer_source": (64, None, _TAPS),
     "wbfm_rcv_fused": (_TAPS, 100e3, 1e6),
+    "wbfm_live_source": (_TAPS, 100e3, 1e6),
+    "sig_source_folded": (1e6,),
     "cplx_to_planes": (8,),
     "noise_planes_source": (8,),
     # yml-described blocks with static params
