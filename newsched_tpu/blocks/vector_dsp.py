@@ -309,11 +309,14 @@ class fm_noise_channelizer_source(Block):
     def __init__(self, nchans: int, taps, audio_taps, audio_decim: int = 8,
                  gain: float = 1.0, amplitude: float = 1.0, seed: int = 0,
                  taps_per_arm: int | None = None, precision="split3",
+                 generator: str = "auto", interpret: bool = False,
                  name=None):
         super().__init__(name)
         from newsched_tpu.ops import firdes, pfb as pfb_ops
         from newsched_tpu.ops.pallas.fm_chain import _round8
 
+        if generator not in ("auto", "hw", "pure"):
+            raise ValueError(f"generator {generator!r} not in auto/hw/pure")
         self.nchans = int(nchans)
         if taps is None:
             taps = firdes.prototype_channelizer_taps(self.nchans,
@@ -325,9 +328,21 @@ class fm_noise_channelizer_source(Block):
         self.gain = float(gain)
         self.seed = int(seed)
         self.precision = precision
+        self.generator = generator
+        self.interpret = bool(interpret)
         self.h8 = _round8(self.arm.shape[1] - 1)
         self.add_output("out", "rf32", item_shape=(self.nchans,))
         self.declare_param("amplitude", amplitude, dtype=np.float32)
+
+    def _gen(self) -> str:
+        """Resolve the generator: the hardware-PRNG in-kernel path on a TPU
+        backend, the portable position-pure threefry twin elsewhere
+        (ops/pallas/noise.py pure_rows — SAME (seed, position) contract,
+        DIFFERENT bit stream; documented in migrating.md)."""
+        if self.generator != "auto":
+            return self.generator
+        on_tpu = jax.default_backend() not in ("cpu",) and not self.interpret
+        return "hw" if on_tpu else "pure"
 
     def init_state(self, nin, nout):
         M = self.nchans
@@ -341,19 +356,146 @@ class fm_noise_channelizer_source(Block):
         }
 
     def work(self, state, ins, params, nout):
-        from newsched_tpu.ops.pallas.fm_chain import fm_chain_gen_step
         from newsched_tpu.ops.pallas.noise import GROUP_ROWS, advance_groups
 
         n_loc = int(nout) * self.audio_decim
-        aud, prev, atail, carry = fm_chain_gen_step(
-            state["ghi"], state["glo"], params["amplitude"], state["carry"],
-            state["prev"], state["atail"], self.fold_c, self.audio_taps,
-            self.audio_decim, self.gain, n_loc, seed=self.seed,
-            precision=self.precision)
+        if self._gen() == "hw":
+            from newsched_tpu.ops.pallas.fm_chain import fm_chain_gen_step
+
+            aud, prev, atail, carry = fm_chain_gen_step(
+                state["ghi"], state["glo"], params["amplitude"],
+                state["carry"], state["prev"], state["atail"], self.fold_c,
+                self.audio_taps, self.audio_decim, self.gain, n_loc,
+                seed=self.seed, precision=self.precision)
+        else:
+            # Portable twin: rows generated by the position-pure threefry
+            # stream in XLA, chained into the planes mega-kernel (interpret
+            # mode off-TPU). Same streaming state layout as the hw path.
+            from newsched_tpu.ops.pallas.fm_chain import fm_chain_step_planes
+            from newsched_tpu.ops.pallas.noise import pure_rows
+
+            rows = pure_rows(self.seed, state["ghi"], state["glo"], n_loc,
+                             2 * self.nchans) * params["amplitude"]
+            aud, prev, atail = fm_chain_step_planes(
+                rows, state["carry"], state["prev"], state["atail"],
+                self.fold_c, self.audio_taps, self.audio_decim, self.gain,
+                interpret=self.interpret, precision=self.precision)
+            carry = (rows[-self.h8:] if n_loc >= self.h8
+                     else jnp.concatenate([state["carry"], rows])[-self.h8:])
         hi, lo = advance_groups(state["ghi"], state["glo"],
                                 n_loc // GROUP_ROWS)
         return ({"ghi": hi, "glo": lo, "carry": carry, "prev": prev,
                  "atail": atail}, {"out": aud})
+
+    # -- graph-level sharding (VERDICT r4 item #1): the LIVE flagship under
+    # fg.run(mesh=...). The noise stream is a pure function of
+    # (seed, absolute group) — so each device generates its OWN absolute
+    # group range, regenerates its fold halo and its demod/audio junction
+    # state in-kernel from `warm` recomputed rows, and the step needs ZERO
+    # collectives: the only cross-batch state is the replicated 64-bit
+    # group counter. (The carried single-device state disappears entirely —
+    # this is the payoff of the position-pure determinism contract,
+    # ops/pallas/noise.py.)
+
+    def _sharded_geometry(self, n_rows_tot: int, n_dev: int):
+        from newsched_tpu.ops.pallas.fm_chain import _pick_tile
+        from newsched_tpu.ops.pallas.noise import GROUP_ROWS
+
+        if n_rows_tot % n_dev:
+            raise ValueError(
+                f"{self.name}: batch rows {n_rows_tot} not divisible by "
+                f"mesh time axis {n_dev}")
+        n_loc = n_rows_tot // n_dev
+        if n_loc % GROUP_ROWS:
+            raise ValueError(
+                f"{self.name}: per-device rows {n_loc} must be a multiple "
+                f"of the noise group ({GROUP_ROWS} rows)")
+        A = len(self.audio_taps)
+        tile = _pick_tile(n_loc, min(512, n_loc), self.audio_decim)
+        if tile % GROUP_ROWS or tile < self.h8 or A - 1 > tile:
+            raise ValueError(
+                f"{self.name}: per-device rows {n_loc} give tile {tile}; "
+                f"need a multiple of {GROUP_ROWS} with tile >= "
+                f"max(H8 {self.h8}, A-1 {A - 1}) — use a larger batch")
+        warm = tile
+        need_warm = -(-A // self.audio_decim) * self.audio_decim
+        if warm < need_warm:
+            raise ValueError(
+                f"{self.name}: warm {warm} rows cannot rebuild the {A}-tap "
+                f"audio state; use a larger batch")
+        return n_loc, tile, warm
+
+    def init_state_sharded(self, nin, nout, mesh, axis):
+        # Validate geometry at compile time so a bad mesh/batch combination
+        # raises a framework error here, not a Mosaic crash at trace time.
+        self._sharded_geometry(int(nout) * self.audio_decim, mesh.shape[axis])
+        return {"ghi": jnp.zeros((), jnp.int32),
+                "glo": jnp.zeros((), jnp.int32)}
+
+    def work_sharded(self, state, ins, params, nout, mesh, axis):
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from newsched_tpu.ops.pallas.noise import GROUP_ROWS, advance_groups
+
+        nd = mesh.shape[axis]
+        if nd <= 1:
+            return self.work(state, ins, params, nout)
+        n_rows_tot = int(nout) * self.audio_decim
+        n_loc, tile, warm = self._sharded_geometry(n_rows_tot, nd)
+        M = self.nchans
+        hw = self._gen() == "hw"
+
+        def fn(ghi, glo, amp):
+            d = jax.lax.axis_index(axis).astype(jnp.int32)
+            off = d * jnp.int32(n_loc // GROUP_ROWS)
+            if hw:
+                from newsched_tpu.ops.pallas.fm_chain import \
+                    fm_chain_gen_warm_step
+                from newsched_tpu.ops.pallas.noise import add_groups_signed
+
+                hi, lo = add_groups_signed(ghi, glo, off)
+                return fm_chain_gen_warm_step(
+                    hi, lo, amp, self.fold_c, self.audio_taps,
+                    self.audio_decim, self.gain, n_loc, warm=warm, tile=tile,
+                    seed=self.seed, precision=self.precision)
+            from newsched_tpu.ops.pallas.fm_chain import (_round8,
+                                                          fm_chain_step_planes)
+            from newsched_tpu.ops.pallas.noise import (add_groups_signed,
+                                                       pure_rows)
+
+            # rows [start - warm - H8, start + n_loc), group-aligned: one
+            # full leading group covers the sub-group H8 offset.
+            h8 = _round8(self.arm.shape[1] - 1)
+            back = warm // GROUP_ROWS + 1
+            hi, lo = add_groups_signed(ghi, glo, off - jnp.int32(back))
+            n_gen = n_loc + warm + GROUP_ROWS
+            rows = pure_rows(self.seed, hi, lo, n_gen, 2 * M,
+                             mask_pre=True) * amp
+            rows = rows[GROUP_ROWS - h8:]
+            halo, vb = rows[: warm + h8], rows[warm + h8:]
+            z1 = jnp.zeros((1, 2 * M), jnp.float32)
+            zt = jnp.zeros((len(self.audio_taps) - 1, 2 * M), jnp.float32)
+            aud, _, _ = fm_chain_step_planes(
+                vb, halo, z1, zt, self.fold_c, self.audio_taps,
+                self.audio_decim, self.gain, warm=warm, tile=tile,
+                interpret=self.interpret, precision=self.precision)
+            return aud
+
+        rep = P()
+        try:
+            smapped = shard_map(fn, mesh=mesh, in_specs=(rep, rep, rep),
+                                out_specs=P(axis, None), check_vma=False)
+        except TypeError:
+            smapped = shard_map(fn, mesh=mesh, in_specs=(rep, rep, rep),
+                                out_specs=P(axis, None), check_rep=False)
+        aud = smapped(state["ghi"], state["glo"], params["amplitude"])
+        hi, lo = advance_groups(state["ghi"], state["glo"],
+                                n_rows_tot // GROUP_ROWS)
+        return {"ghi": hi, "glo": lo}, {"out": aud}
 
 
 class fm_channelizer_fused_planes(Block):

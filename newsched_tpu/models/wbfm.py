@@ -239,11 +239,14 @@ def _fm_channelizer_fused(nchans, chan_rate, taps_per_arm, audio_decim,
         # The gen-fused LIVE flagship: one source kernel generating its own
         # noise in VMEM (round-4; bit-identical stream to
         # noise_planes_source(method="pallas", seed=0, amplitude=0.5) ->
-        # the planes block). TPU only.
+        # the planes block). On non-TPU backends the source auto-selects
+        # the portable position-pure threefry twin (round 5) — same
+        # contract, different bit stream.
         src = vector_dsp.fm_noise_channelizer_source(
             nchans, None, audio_taps, audio_decim=audio_decim,
             gain=1.0 / (2 * np.pi * deviation_frac), amplitude=0.5, seed=0,
-            taps_per_arm=taps_per_arm, precision=precision)
+            taps_per_arm=taps_per_arm, precision=precision,
+            interpret=interpret)
         bsz = None if batch_size is None else \
             max(batch_size // (nchans * audio_decim), 1)
         fg = Flowgraph("fm_channelizer_live", batch_size=bsz)

@@ -641,6 +641,129 @@ def fm_chain_gen_step(ghi: jax.Array, glo: jax.Array, amp: jax.Array,
     return aud[:, :M], prev, tail, carry
 
 
+def _kernel_gen_warm(ghi_ref, glo_ref, amp_ref,
+                     c_ref, w_ref, h_ref, whi_ref, wlo_ref, hhi_ref, hlo_ref,
+                     aud_ref, win, carry_prev, carry_tail, *,
+                     T: int, L: int, H8: int, M: int, A: int, gain: float,
+                     NT: int, warm: int, seed: int, precision):
+    """STATELESS gen-mode tile: like ``_kernel_gen`` but with nothing
+    carried between batches — the fold halo AND the demod/audio junction
+    state are REGENERATED from the position-pure stream contract
+    (ops/pallas/noise.py): the kernel generates ``warm`` extra rows before
+    the segment (zero junction state, outputs discarded by the caller) and
+    the first tile regenerates its own H8-row fold halo from the group
+    preceding the warm region. Groups before stream position 0 emit zeros
+    (mask_pre), matching the zero initial state of the carried path. This
+    is what lets the LIVE flagship shard: each device of a mesh runs this
+    kernel on its own absolute group range with ZERO collectives."""
+    from newsched_tpu.ops.pallas.noise import (GROUP_ROWS, add_groups_signed,
+                                               gen_rows)
+
+    i = pl.program_id(0)
+    # fresh-row base group for tile i: segment start - warm + i*T (in rows)
+    off = jnp.int32(i) * jnp.int32(T // GROUP_ROWS) \
+        - jnp.int32(warm // GROUP_ROWS)
+    ghi, glo = add_groups_signed(ghi_ref[0], glo_ref[0], off)
+
+    @pl.when(i == 0)
+    def _():
+        # fold halo = last H8 rows of the group just before the warm region
+        hhi, hlo = add_groups_signed(ghi, glo, jnp.int32(-1))
+        blk = gen_rows(jnp.int32(seed), hhi, hlo, GROUP_ROWS, 2 * M,
+                       mask_pre=True)
+        win[0:H8, :] = blk[GROUP_ROWS - H8:, :] * amp_ref[0]
+        carry_prev[:, :] = jnp.zeros((1, 2 * M), jnp.float32)
+        carry_tail[:, :] = jnp.zeros((A - 1, 2 * M), jnp.float32)
+
+    win[H8:, :] = gen_rows(jnp.int32(seed), ghi, glo, T, 2 * M,
+                           mask_pre=True) * amp_ref[0]
+    _compute_tile(win, carry_prev, carry_tail, c_ref, w_ref, h_ref,
+                  whi_ref, wlo_ref, hhi_ref, hlo_ref, aud_ref,
+                  T=T, L=L, H8=H8, M=M, A=A, gain=gain, precision=precision)
+    # next tile's halo = this tile's last H8 fresh rows
+    win[0:H8, :] = win[T: T + H8, :]
+
+
+def fm_chain_gen_warm_step(ghi: jax.Array, glo: jax.Array, amp: jax.Array,
+                           arm_c: np.ndarray, ataps: np.ndarray, decim: int,
+                           gain: float, n_loc: int, *, warm: int,
+                           tile: int = 512, seed: int = 0,
+                           precision=jax.lax.Precision.HIGHEST):
+    """One SEGMENT of the gen-fused chain with no carried state at all:
+    audio for stream rows [G*GROUP_ROWS, G*GROUP_ROWS + n_loc) where
+    G = (ghi, glo), with the fold halo and the demod/audio junction state
+    regenerated in-kernel from ``warm`` recomputed rows (discarded). The
+    sharded LIVE flagship's per-device step: a device at time-shard d
+    passes its own absolute group base and needs no inputs, no carries,
+    and no collectives (VERDICT r4 item #1).
+
+    Tile boundaries land at the same absolute positions as the carried
+    single-device kernel whenever n_loc, warm, and the stream batch are
+    all multiples of ``tile`` — making the emitted audio BIT-IDENTICAL to
+    ``fm_chain_gen_step``'s, not merely close (tested on the TPU tier).
+
+    Returns audio (n_loc//decim, M) f32. warm must be a multiple of tile
+    and >= ceil(A/decim)*decim; tile a multiple of noise.GROUP_ROWS.
+    """
+    from newsched_tpu.ops.pallas.noise import GROUP_ROWS
+
+    L, M = int(arm_c.shape[0]), int(arm_c.shape[1])
+    A = int(np.asarray(ataps).shape[0])
+    H8 = _round8(L - 1)
+    tile = _pick_tile(n_loc, tile, decim)
+    warm = int(warm)
+    if warm % tile:
+        raise ValueError(f"warm {warm} must be a multiple of tile {tile}")
+    need_warm = -(-A // decim) * decim
+    if warm < need_warm:
+        raise ValueError(
+            f"warm {warm} too small: need >= ceil(A/decim)*decim = "
+            f"{need_warm} recomputed rows to rebuild demod+audio state")
+    if tile % GROUP_ROWS:
+        raise ValueError(f"tile {tile} not a multiple of the noise group "
+                         f"({GROUP_ROWS} rows)")
+    if A - 1 > tile or tile < H8:
+        raise ValueError(f"tile {tile} too small for A={A}, H8={H8}")
+    if H8 > GROUP_ROWS:
+        raise ValueError(f"H8 {H8} > one noise group ({GROUP_ROWS} rows): "
+                         f"first-tile halo regeneration spans one group")
+    c2 = planes_taps(arm_c)
+    W2 = planes_dft_matrix(M)
+    Haud = audio_toeplitz(ataps, tile, decim)
+    Whi, Wlo = _presplit(W2)
+    Hhi, Hlo = _presplit(Haud)
+    NT = (warm + n_loc) // tile
+    kernel = functools.partial(_kernel_gen_warm, T=tile, L=L, H8=H8, M=M,
+                               A=A, gain=float(gain), NT=NT, warm=warm,
+                               seed=int(seed), precision=precision)
+    n_aud = (warm + n_loc) // decim
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    aud = pl.pallas_call(
+        kernel,
+        grid=(NT,),
+        in_specs=[smem, smem, smem] + [vmem] * 7,
+        out_specs=pl.BlockSpec((tile // decim, 2 * M), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_aud, 2 * M), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile + H8, 2 * M), jnp.float32),  # gen window
+            pltpu.VMEM((1, 2 * M), jnp.float32),
+            pltpu.VMEM((A - 1, 2 * M), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (warm + n_loc) * 2 * M * (L + 2 * M)
+            + 2 * n_aud * 2 * M * (A - 1 + tile)
+            + 10 * (warm + n_loc) * 2 * M,
+            bytes_accessed=n_aud * 2 * M * 4,
+            transcendentals=(warm + n_loc) * 2 * M,
+        ),
+    )(ghi.reshape(1).astype(jnp.int32), glo.reshape(1).astype(jnp.int32),
+      amp.reshape(1).astype(jnp.float32),
+      jnp.asarray(c2), jnp.asarray(W2), jnp.asarray(Haud), Whi, Wlo, Hhi, Hlo)
+    return aud[warm // decim:, :M]
+
+
 def fm_chain_step(vr: jax.Array, vi: jax.Array, prev0: jax.Array,
                   tail0: jax.Array, arm_c: np.ndarray, ataps: np.ndarray,
                   decim: int, gain: float, n_out: int, tile: int = 512,

@@ -80,12 +80,32 @@ def _group_normal(seed, ghi, glo, width):
             - jnp.float32(_IH_MEAN)) * jnp.float32(1.0 / _IH_STD)
 
 
-def gen_rows(seed, g0_hi, g0_lo, n_rows: int, width: int, *, row_off: int = 0):
+def add_groups_signed(hi, lo, off):
+    """64-bit group-counter add of a SIGNED int32 offset (two int32 halves,
+    two's-complement semantics): the sharded gen paths step backwards from
+    a shard's base group to its warm-up/halo region, which may cross zero
+    on the first batch (hi goes negative — the pre-stream region)."""
+    off = jnp.int32(off)
+    off_hi = jax.lax.shift_right_arithmetic(off, 31)  # sign-extend
+    lo2 = lo + off
+    # carry out of the unsigned 32-bit add: result < addend (unsigned)
+    carry = ((lo2 ^ jnp.int32(-0x80000000)) < (lo ^ jnp.int32(-0x80000000))
+             ).astype(jnp.int32)
+    return hi + off_hi + carry, lo2
+
+
+def gen_rows(seed, g0_hi, g0_lo, n_rows: int, width: int, *, row_off: int = 0,
+             mask_pre: bool = False):
     """In-kernel helper: (n_rows, width) f32 standard-normal rows starting
     at group offset ``row_off // GROUP_ROWS`` past absolute group
     (g0_hi, g0_lo). n_rows and row_off must be multiples of GROUP_ROWS;
     callers embed this inside their own pallas kernels (the gen-mode
-    mega-kernel regenerates halo rows this way)."""
+    mega-kernel regenerates halo rows this way).
+
+    mask_pre=True zeroes any group whose 64-bit index is negative (hi < 0
+    signed) — the pre-stream region a sharded warm-up may reach back into
+    on the first batch; row 0 of the stream is group 0, so the pre-stream
+    boundary is always group-aligned and whole-group masking is exact."""
     assert n_rows % GROUP_ROWS == 0 and row_off % GROUP_ROWS == 0
     blocks = []
     for g in range(n_rows // GROUP_ROWS):
@@ -94,8 +114,40 @@ def gen_rows(seed, g0_hi, g0_lo, n_rows: int, width: int, *, row_off: int = 0):
         # carry into hi when lo wrapped: unsigned compare via xor-minint
         wrapped = (glo ^ jnp.int32(-0x80000000)) < (g0_lo ^ jnp.int32(-0x80000000))
         ghi = g0_hi + wrapped.astype(jnp.int32)
-        blocks.append(_group_normal(seed, ghi, glo, width))
+        blk = _group_normal(seed, ghi, glo, width)
+        if mask_pre:
+            blk = jnp.where(ghi < 0, jnp.float32(0.0), blk)
+        blocks.append(blk)
     return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
+
+
+def pure_rows(seed: int, g0_hi, g0_lo, n_rows: int, width: int, *,
+              mask_pre: bool = False):
+    """Portable position-pure twin of ``gaussian_rows``: group g's rows are
+    ``normal(fold_in(fold_in(key(seed), g_lo), g_hi))`` — the SAME
+    ``(seed, absolute group)`` determinism contract as the hardware-PRNG
+    stream, but a DIFFERENT bit stream (threefry+erfinv vs hw-PRNG+
+    Irwin-Hall). Pure XLA: runs on any backend and partitions cleanly
+    under SPMD, so it is the CPU/sim-mesh stand-in for the gen-fused
+    sharded paths (each device regenerates its own halo exactly, the same
+    way the hardware kernel does on a TPU).
+    """
+    if n_rows % GROUP_ROWS:
+        raise ValueError(f"n_rows {n_rows} not a multiple of {GROUP_ROWS}")
+    key = jax.random.PRNGKey(int(seed))
+    offs = jnp.arange(n_rows // GROUP_ROWS, dtype=jnp.int32)
+    glo = g0_lo.astype(jnp.int32) + offs
+    wrapped = ((glo ^ jnp.int32(-0x80000000))
+               < (g0_lo.astype(jnp.int32) ^ jnp.int32(-0x80000000)))
+    ghi = g0_hi.astype(jnp.int32) + wrapped.astype(jnp.int32)
+
+    def one(hi, lo):
+        k = jax.random.fold_in(jax.random.fold_in(key, lo.astype(jnp.uint32)),
+                               hi.astype(jnp.uint32))
+        r = jax.random.normal(k, (GROUP_ROWS, width), jnp.float32)
+        return jnp.where(hi < 0, jnp.float32(0.0), r) if mask_pre else r
+
+    return jax.vmap(one)(ghi, glo).reshape(n_rows, width)
 
 
 def _noise_kernel(hi_ref, lo_ref, out_ref, *, T: int, width: int, seed: int):

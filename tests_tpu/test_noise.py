@@ -202,3 +202,56 @@ def test_sig_source_pallas_nco_on_tpu():
     err = ref - y.astype(np.complex128)
     snr = 10 * np.log10(np.mean(np.abs(ref) ** 2) / np.mean(np.abs(err) ** 2))
     assert snr > 90, f"NCO source SNR {snr:.1f} dB"
+
+
+def test_gen_warm_sharded_stream_bit_identical():
+    """VERDICT r4 item #1, hardware path: the stateless gen+warm kernel
+    (fm_chain_gen_warm_step — each mesh device's per-shard step) emits the
+    BIT-IDENTICAL audio stream to the carried single-device gen kernel.
+    With one physical chip the per-device calls run sequentially — valid
+    because the sharded step has ZERO collectives: each device's program
+    is exactly this pure function of (seed, absolute group range)."""
+    import jax.numpy as jnp
+
+    from newsched_tpu.ops import firdes, pfb as pfb_ops
+    from newsched_tpu.ops.pallas.fm_chain import (_round8, fm_chain_gen_step,
+                                                  fm_chain_gen_warm_step)
+    from newsched_tpu.ops.pallas.noise import (GROUP_ROWS, add_groups_signed,
+                                               advance_groups)
+
+    M, decim, seed = 64, 8, 7
+    taps = firdes.prototype_channelizer_taps(M, 16)
+    arm = pfb_ops.pfb_arm_taps(np.asarray(taps, np.float32), M)
+    fold_c = np.asarray(arm)[::-1, ::-1].T.copy()
+    ataps = firdes.low_pass(1.0, 1.0, 0.05, 0.0125)
+    A = len(ataps)
+    h8 = _round8(arm.shape[1] - 1)
+    n_loc = 4096
+    ghi = jnp.zeros((), jnp.int32)
+    glo = jnp.zeros((), jnp.int32)
+    carry = jnp.zeros((h8, 2 * M), jnp.float32)
+    prev = jnp.zeros((1, 2 * M), jnp.float32)
+    atail = jnp.zeros((A - 1, 2 * M), jnp.float32)
+    amp = jnp.float32(0.5)
+    auds = []
+    for _ in range(2):
+        aud, prev, atail, carry = fm_chain_gen_step(
+            ghi, glo, amp, carry, prev, atail, fold_c, ataps, decim, 1.0,
+            n_loc, seed=seed, precision="split3")
+        ghi, glo = advance_groups(ghi, glo, n_loc // GROUP_ROWS)
+        auds.append(np.asarray(aud))
+    ref = np.concatenate(auds, axis=0)
+
+    nd = 4
+    n_shard = 2 * n_loc // nd
+    z0 = jnp.zeros((), jnp.int32)
+    outs = []
+    for d in range(nd):
+        hi, lo = add_groups_signed(z0, z0, d * (n_shard // GROUP_ROWS))
+        outs.append(np.asarray(fm_chain_gen_warm_step(
+            hi, lo, amp, fold_c, ataps, decim, 1.0, n_shard, warm=512,
+            tile=512, seed=seed, precision="split3")))
+    test = np.concatenate(outs, axis=0)
+    assert test.shape == ref.shape
+    assert np.array_equal(ref, test), (
+        f"max abs diff {np.abs(ref - test).max()}")
