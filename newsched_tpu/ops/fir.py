@@ -228,15 +228,48 @@ def _good_fft_size(n: int) -> int:
 
 
 def fft_filter_full(xfull: jax.Array, taps: jax.Array, n_out: int, decim: int = 1,
-                    fft_size: int | None = None) -> jax.Array:
+                    fft_size: int | None = None, fft_method: str = "auto",
+                    taps_np: np.ndarray | None = None) -> jax.Array:
     """Overlap-save convolution: y[k] = sum_t taps[t] xfull[ntaps-1+k-t].
 
     xfull carries the ntaps-1 halo at the front; returns n_out samples
     (post-decimation if decim > 1). Segments the batch into FFT blocks of
     `fft_size` with ntaps-1 overlap, batched FFT over segments.
+
+    fft_method: "xla" = XLA's native FFT pair (f32, ~130 dB);
+    "mxu" = the Bailey 4-step matmul fast-conv (ops/fftops.py bailey_conv
+    — 1.84x the XLA pair measured same-session, 3-pass-bf16 HIGH tier
+    ~90 dB, needs static taps, complex data, and fft_size 16384);
+    "auto" picks mxu exactly when those hold on a TPU backend.
     """
     ntaps = taps.shape[0]
     n_lin = n_out * decim  # linear-convolution outputs needed before decimation
+    complex_stream = _is_complex(xfull) or _is_complex(taps)
+    if fft_method == "auto":
+        from newsched_tpu.ops.fftops import bailey_supported
+
+        # The matmul fast-conv wins when a full 120-row segment of useful
+        # output exists (measured at 2^21; the frame/slice-free pipeline
+        # has no XLA-FFT fallback cost to amortize below that).
+        fft_method = ("mxu" if (complex_stream and taps_np is not None
+                                and bailey_supported(int(ntaps), fft_size)
+                                and n_lin >= 15360
+                                and jax.default_backend() not in ("cpu",))
+                      else "xla")
+    if fft_method == "mxu":
+        from newsched_tpu.ops.fftops import bailey_filter
+
+        if taps_np is None:
+            raise ValueError("fft_method='mxu' needs static (numpy) taps — "
+                             "the matmul constants are built at trace time")
+        if not complex_stream:
+            raise ValueError("fft_method='mxu' is the complex fast-conv; "
+                             "real streams use the rfft path")
+        if fft_size not in (None, 16384):
+            raise ValueError("fft_method='mxu' uses the 128x128 "
+                             "factorization: fft_size must be 16384/None")
+        y = bailey_filter(xfull.astype(jnp.complex64), taps_np, n_lin)
+        return y[::decim] if decim > 1 else y
     if fft_size is None:
         # XLA's TPU FFT throughput rises steeply with transform size
         # (measured 2^21-batch, 1024 taps: 4096 -> 4.05 Gsps, 16384 ->
@@ -261,7 +294,7 @@ def fft_filter_full(xfull: jax.Array, taps: jax.Array, n_out: int, decim: int = 
     from newsched_tpu.runtime import meshctx
 
     segs = meshctx.pin_leading(segs)
-    complex_in = _is_complex(xfull) or _is_complex(taps)
+    complex_in = complex_stream
     if complex_in:
         H = jnp.fft.fft(taps.astype(jnp.complex64), fft_size)
         Y = jnp.fft.ifft(jnp.fft.fft(segs.astype(jnp.complex64), axis=-1) * H, axis=-1)
@@ -286,6 +319,8 @@ def fir_filter(
     x: jax.Array,
     decim: int = 1,
     method: str = "auto",
+    fft_method: str = "auto",
+    fft_size: int | None = None,
 ) -> tuple[FirState, jax.Array]:
     """Filter one batch, threading streaming state.
 
@@ -295,6 +330,8 @@ def fir_filter(
       x: (B,) input batch; B must be a multiple of decim.
       decim: keep every decim-th output (decimating FIR).
       method: "auto" | "mxu" | "conv" | "fft".
+      fft_method: for the fft path — "auto" | "xla" | "mxu" (the Bailey
+        4-step matmul fast-conv, ops/fftops.py).
 
     Returns (new_state, y) with y of length B // decim.
     """
@@ -331,7 +368,8 @@ def fir_filter(
         y = _conv1d(xfull, taps[::-1], stride=decim)
         y = y[:n_out]
     elif method == "fft":
-        y = fft_filter_full(xfull, taps, n_out, decim)
+        y = fft_filter_full(xfull, taps, n_out, decim, fft_size=fft_size,
+                            fft_method=fft_method, taps_np=taps_np)
     else:
         raise ValueError(f"unknown FIR method {method!r}")
     new_tail = xfull[-(ntaps - 1) :] if ntaps > 1 else state.tail

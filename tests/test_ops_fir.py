@@ -109,3 +109,51 @@ def test_streaming_equals_offline_long():
     y = np.concatenate(out)
     ref = sig.lfilter(TAPS.astype(np.float64), [1.0], x.astype(np.complex128))
     assert snr_db(ref, y) > 100
+
+
+def test_fft_filter_bailey_mxu_matches_scipy():
+    """Round 5: the Bailey 4-step matmul fast-conv (ops/fftops.py — the
+    config-3 ledger's designed MXU FFT) as a streaming fft_filter engine.
+    Pure XLA, so the math is testable on CPU; the >60 dB config-3 gate
+    holds with ~30 dB margin (HIGH = 3-pass bf16 tier on TPU; f32 here)."""
+    rng = np.random.default_rng(3)
+    ntaps = 1024
+    taps = np.asarray(firdes.low_pass(1.0, 1.0, 0.1, 0.03, ntaps=ntaps),
+                      np.float32)
+    n = 3 * 20480
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    B = n // 3
+    s = fir_ops.fir_init_state(ntaps, dtype=jnp.complex64)
+    out = []
+    for i in range(3):
+        s, y = fir_ops.fir_filter(taps, s, jnp.asarray(x[i * B:(i + 1) * B]),
+                                  method="fft", fft_method="mxu")
+        out.append(np.asarray(y))
+    y = np.concatenate(out)
+    ref = sig.lfilter(taps.astype(np.float64), [1.0], x.astype(np.complex128))
+    assert snr_db(ref, y) > 90  # f32 einsum on CPU; bf16-HIGH on TPU ~90 dB
+
+
+def test_fft_filter_bailey_decim_and_errors():
+    rng = np.random.default_rng(4)
+    taps = np.asarray(firdes.low_pass(1.0, 1.0, 0.05, 0.02, ntaps=513),
+                      np.float32)
+    n = 40960
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    s = fir_ops.fir_init_state(513, dtype=jnp.complex64)
+    _, y = fir_ops.fir_filter(taps, s, jnp.asarray(x), decim=4,
+                              method="fft", fft_method="mxu")
+    ref = sig.lfilter(taps.astype(np.float64), [1.0],
+                      x.astype(np.complex128))[::4]
+    assert snr_db(ref, y) > 90
+    # real stream: mxu is the complex fast-conv — clear error
+    sr = fir_ops.fir_init_state(513, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="complex"):
+        fir_ops.fir_filter(taps, sr, jnp.asarray(np.real(x)), method="fft",
+                           fft_method="mxu")
+    # unsupported fft_size
+    with pytest.raises(ValueError, match="fft_size"):
+        fir_ops.fir_filter(taps, s, jnp.asarray(x), method="fft",
+                           fft_method="mxu", fft_size=4096)
