@@ -179,8 +179,10 @@ def cpu_reference_throughput(taps, audio_taps, n: int = 1 << 20) -> float:
     return sps
 
 
-def _timed_two_point(run_k, label: str, B: int):
-    """Two-point dispatch-corrected fit over jitted K-step scans."""
+def _timed_two_point(run_k, label: str, B: int, n_best: int = 3):
+    """Two-point dispatch-corrected fit over jitted K-step scans.
+    n_best: repetitions per K (min taken) — the pinned protocol for gated
+    headline rows uses 5 (BASELINE.md live-source ledger, round 5)."""
     import jax
 
     t0 = time.perf_counter()
@@ -191,7 +193,7 @@ def _timed_two_point(run_k, label: str, B: int):
     totals = {}
     for k in (K1, K2):
         best = np.inf
-        for _ in range(3):
+        for _ in range(n_best):
             t0 = time.perf_counter()
             sums = run_k(k)
             s = jax.device_get(sums)  # forces full completion + value fetch
@@ -334,6 +336,112 @@ def live_golden_rows(B: int):
     return 0.5 * np.asarray(jax.device_get(rows))
 
 
+def wbfm_paths(batch: int):
+    """Config #1 same-session A/B (VERDICT r4 item #2): the STAGED,
+    FUSED, and LIVE wbfm receivers timed through the compiled flowgraph
+    step in ONE session so the staged/fused/live ratios are same-session
+    by construction — the treatment the flagship already gets. The test
+    tone is NON-HOISTABLE by construction: a nonzero-frequency fxpt NCO
+    whose phase state advances every scan step (the round-4 bm rows used
+    a 0 Hz default tone, which XLA could — and sometimes did — hoist out
+    of the loop, making cross-session ratios incomparable).
+
+    Returns {"staged": sps, "fused": sps, "live": sps} in input
+    samples/s, each SNR-gated >= 60 dB against the float64 staged-
+    semantics golden (tests/test_wbfm_fused.py golden_chain semantics).
+    """
+    import jax
+    import scipy.signal as sig
+
+    from newsched_tpu import models
+    from newsched_tpu.blocks import analog
+    from newsched_tpu.ops import firdes, nco
+    from newsched_tpu.runtime.compile import compile_flowgraph
+    from newsched_tpu.utils import cplx
+
+    fs, fc, D, Rd, dev = 1e6, 200e3, 4, 5, 75e3
+    tone = 231_250.0  # 31.25 kHz into the 100 kHz channel: nonzero audio
+    unit = 64 * 8 * D * Rd  # fold width x kernel tile step (10240; also
+    # a multiple of 1024, so sig_source keeps its on-chip NCO path)
+    B = max(batch // unit, 1) * unit
+    chan_taps = firdes.low_pass(1.0, fs, 100e3, 30e3)
+    rt = firdes.low_pass(1.0, 1.0, 0.45 / Rd, 0.1 / Rd)
+    gain = (fs / D) / (2 * np.pi * dev)
+    dp_tone = int(nco.freq_to_dphase(tone, fs))
+    dp_fc = int(nco.freq_to_dphase(fc, fs))
+
+    def build(kind):
+        src = ("live" if kind == "live"
+               else analog.sig_source(fs, "complex", frequency=tone))
+        fg, blks = models.wbfm_receiver(
+            fs=fs, center_freq=fc, quad_rate_decim=D, audio_decim=(1, Rd),
+            deviation=dev, source=src, batch_size=B, sink="null",
+            fused=(kind != "staged"))
+        if kind == "live":
+            blks["source"].set_param("dphase", np.uint32(dp_tone))
+        fg.validate()
+        ref_items = B // (D * Rd) if kind == "live" else B
+        cfg = compile_flowgraph(fg, batch_size=ref_items)
+        step = cfg.step
+        params_enc = cplx.encode(cfg.init_params())
+
+        @functools.partial(jax.jit, static_argnames=("k_steps",))
+        def run_k(params_enc, k_steps):
+            params = cplx.decode(params_enc)
+
+            def body(states, _):
+                ns, sink_out = step(states, params)
+                (chk,) = list(sink_out.values())
+                return ns, chk
+
+            _, sums = jax.lax.scan(body, cfg.init_states(), xs=None,
+                                   length=k_steps)
+            return sums
+
+        return lambda k: run_k(params_enc, k)
+
+    def gate(kind):
+        src = ("live" if kind == "live"
+               else analog.sig_source(fs, "complex", frequency=tone))
+        fg, blks = models.wbfm_receiver(
+            fs=fs, center_freq=fc, quad_rate_decim=D, audio_decim=(1, Rd),
+            deviation=dev, source=src, batch_size=B, sink="vector",
+            n_samples=B // (D * Rd), fused=(kind != "staged"))
+        if kind == "live":
+            blks["source"].set_param("dphase", np.uint32(dp_tone))
+        fg.run()
+        got = np.asarray(blks["sink"].data())
+        # float64 golden on the exact fxpt tone ladder
+        idx = np.arange(B, dtype=np.uint64)
+        ph = 2 * np.pi * (((idx * np.uint64(dp_tone)) & np.uint64(0xFFFFFFFF)
+                           ).astype(np.float64) / 2.0 ** 32)
+        x_gold = np.exp(1j * ph)
+        acc = (idx * np.uint64(dp_fc)) & np.uint64(0xFFFFFFFF)
+        rot = np.exp(-2j * np.pi * (acc.astype(np.float64) / 2.0 ** 32))
+        u = sig.lfilter(np.asarray(chan_taps, np.complex128), 1.0,
+                        x_gold * rot)[::D]
+        up = np.concatenate([[0.0], u[:-1]])
+        p = np.conj(up) * u
+        d = np.where((up == 0) | (u == 0), 0.0, np.angle(p)) * gain
+        ref = sig.lfilter(np.asarray(rt, np.float64), 1.0, d)[::Rd]
+        return snr_db(ref[: len(got)], got)
+
+    out = {}
+    for kind in ("staged", "fused", "live"):
+        g = gate(kind)
+        log(f"wbfm[{kind}]: SNR vs float64 golden = {g:.1f} dB (gate >= 60)")
+        if not (np.isfinite(g) and g >= 60):
+            log(f"wbfm[{kind}]: gate FAILED — row withheld")
+            continue
+        out[kind] = _timed_two_point(build(kind), f"wbfm {kind} flowgraph",
+                                     B, n_best=5)
+    if {"staged", "fused", "live"} <= out.keys():
+        log(f"wbfm same-session ratios: fused/staged = "
+            f"{out['fused'] / out['staged']:.2f}x, live/staged = "
+            f"{out['live'] / out['staged']:.2f}x")
+    return out
+
+
 def bespoke_path(taps, audio_taps, xc, B):
     """The hand-tuned pipeline (parallel/channelizer.py step_planes) on the
     same data — the framework-bypass number the graph path is held to."""
@@ -431,12 +539,24 @@ def main():
                 f"{bad_l.size} audio samples masked as "
                 f"atan2-branch-cut-ambiguous)")
             if np.isfinite(g_live) and g_live >= 60:
+                # Pinned protocol (VERDICT r4 weak #2): best-of-5 per K
+                # point, same-session; BASELINE.md states the measured
+                # session band rather than a single-capture gate.
                 sps_live = _timed_two_point(
-                    run_live, "LIVE flowgraph (gen-fused noise source)", Bl)
+                    run_live, "LIVE flowgraph (gen-fused noise source)", Bl,
+                    n_best=5)
             else:
                 log("LIVE SNR gate failed — live number withheld")
         except Exception as e:
             log(f"live path failed (non-fatal): {e!r}")
+
+    # Config #1 same-session staged/fused/live A/B (VERDICT r4 item #2).
+    wbfm = {}
+    if not INTERPRET:
+        try:
+            wbfm = wbfm_paths(BATCH)
+        except Exception as e:
+            log(f"wbfm A/B failed (non-fatal): {e!r}")
 
     log(f"vs pinned CPU baseline: {sps_graph / PINNED_CPU_SPS:.0f}x "
         f"(live remeasure would say {sps_graph / cpu_sps:.0f}x)")
@@ -450,6 +570,8 @@ def main():
         # Same chain with PER-BATCH on-device noise generation instead of
         # the replay source (the production-realistic number).
         out["live_value"] = round(sps_live / 1e6, 2)
+    for kind, sps in wbfm.items():
+        out[f"wbfm_{kind}_value"] = round(sps / 1e6, 2)
     print(json.dumps(out))
 
 
