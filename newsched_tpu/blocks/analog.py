@@ -100,7 +100,16 @@ class noise_source(Block):
     threefry+erfinv path, see the round-4 live ledger); the stream is a
     pure function of (seed, stream position). method="threefry" keeps the
     portable counter-based jax.random path (CPU, uniform noise, odd
-    batch sizes)."""
+    batch sizes).
+
+    **Stream-identity contract (ADVICE r4):** the pallas and threefry
+    streams are DIFFERENT bit streams, so method="auto" emits different
+    samples for the same (seed, graph) across CPU vs TPU backends and
+    across batch sizes whose 8192-word divisibility flips the selection
+    (a one-time log records which engine auto picked). Each engine is
+    individually deterministic and batch-size-invariant in (seed, stream
+    position). Pin method="threefry" for bit-reproducibility across
+    backends/batch shapes (docs/migrating.md)."""
 
     def __init__(self, noise_type: str = "gaussian", amplitude: float = 1.0,
                  seed: int = 0, dtype="cf32", method: str = "auto", name=None):
@@ -134,6 +143,12 @@ class noise_source(Block):
                 "noise_source(method='pallas') needs a TPU backend, "
                 "gaussian cf32/rf32 output, and batches whose f32 word "
                 "count is a multiple of 8192")
+        if self.method == "auto" and not getattr(self, "_auto_logged", False):
+            self._auto_logged = True
+            self.log.info(
+                "noise_source auto-selected the %s engine (streams differ "
+                "between engines; pin method='threefry' for cross-backend "
+                "bit-reproducibility)", "hw-PRNG pallas" if ok else "threefry")
         return ok if self.method == "auto" else self.method == "pallas"
 
     def init_state(self, nin, nout):
@@ -350,11 +365,21 @@ class wbfm_rcv_fused(Block):
             trans = 0.1 / max(resamp_interp, resamp_decim)
             resamp_taps = firdes.low_pass(resamp_interp, 1.0, cutoff, trans)
         quad_rate = fs / decim
-        self.plan = WbfmChainPlan(
-            np.asarray(chan_taps), int(nco.freq_to_dphase(center_freq, fs)),
-            decim, np.asarray(resamp_taps), resamp_decim,
-            demod_gain=quad_rate / (2 * np.pi * deviation),
-            precision=precision)
+        self._plan_args = (np.asarray(chan_taps), float(fs), int(decim),
+                           np.asarray(resamp_taps), int(resamp_decim),
+                           float(quad_rate / (2 * np.pi * deviation)),
+                           precision)
+        self.plan = self._build_plan(center_freq)
+        # RECOMPILE-FENCE retune (VERDICT r4 item #5 / SURVEY §8): the
+        # rotated-taps Toeplitz constants bake center_freq into the trace,
+        # so it is a fence parameter — set_param("center_freq", f) (locally
+        # or over the control socket) rebuilds the plan and the runner
+        # retraces at the next batch/chunk boundary. Junction state is raw
+        # input rows, so the retuned chain re-locks seamlessly (the same
+        # reason the staged xlate retunes cleanly). Retune latency = one
+        # retrace (~1-5 s on the axon tunnel, sub-second on a local PJRT).
+        self.declare_param("center_freq", float(center_freq),
+                           dtype=np.float64, fence=True)
         self.tile = tile
         self.interpret = bool(interpret)
         if input_format == "folded":
@@ -371,6 +396,20 @@ class wbfm_rcv_fused(Block):
             self.in_multiple = S * 8 * decim * resamp_decim
             self.add_input("in", "cf32")
         self.add_output("out", "rf32")
+
+    def _build_plan(self, center_freq: float):
+        from newsched_tpu.ops.pallas.wbfm_chain import WbfmChainPlan
+
+        chan_taps, fs, decim, rt, rd, gain, precision = self._plan_args
+        return WbfmChainPlan(chan_taps,
+                             int(nco.freq_to_dphase(center_freq, fs)),
+                             decim, rt, rd, demod_gain=gain,
+                             precision=precision)
+
+    def on_fence_param(self, name, value):
+        # B8/W8 depend only on tap counts, so the carry state shape (and
+        # the compiled state pytree) survives the retrace unchanged.
+        self.plan = self._build_plan(float(value))
 
     def init_state(self, nin, nout):
         from newsched_tpu.ops.pallas.wbfm_chain import S
@@ -520,11 +559,11 @@ class wbfm_live_source(Block):
             trans = 0.1 / max(resamp_interp, resamp_decim)
             resamp_taps = firdes.low_pass(resamp_interp, 1.0, cutoff, trans)
         quad_rate = fs / decim
-        self.plan = WbfmChainPlan(
-            np.asarray(chan_taps), int(nco.freq_to_dphase(center_freq, fs)),
-            decim, np.asarray(resamp_taps), resamp_decim,
-            demod_gain=quad_rate / (2 * np.pi * deviation),
-            precision=precision)
+        self._plan_args = (np.asarray(chan_taps), float(fs), int(decim),
+                           np.asarray(resamp_taps), int(resamp_decim),
+                           float(quad_rate / (2 * np.pi * deviation)),
+                           precision)
+        self.plan = self._build_plan(center_freq)
         self.sampling_freq = float(fs)
         self.tile = tile
         self.interpret = bool(interpret)
@@ -532,6 +571,12 @@ class wbfm_live_source(Block):
         self.declare_param("dphase", nco.freq_to_dphase(frequency, fs),
                            dtype=np.uint32, doc="tone phase increment")
         self.declare_param("amplitude", amplitude, dtype=np.float32)
+        # same recompile-fence retune as wbfm_rcv_fused
+        self.declare_param("center_freq", float(center_freq),
+                           dtype=np.float64, fence=True)
+
+    _build_plan = wbfm_rcv_fused._build_plan
+    on_fence_param = wbfm_rcv_fused.on_fence_param
 
     def set_frequency(self, freq: float) -> None:
         self.set_param("dphase", nco.freq_to_dphase(freq, self.sampling_freq))

@@ -64,6 +64,13 @@ class ParamSpec:
     dtype: Any = np.float32
     settable: bool = True
     doc: str = ""
+    # fence=True marks a RECOMPILE-FENCE parameter (SURVEY.md §8 "recompile
+    # fence for shape params"): its value is baked into trace-time constants
+    # (e.g. the fused wbfm chain's rotated Toeplitz taps), so setting it
+    # mid-run rebuilds the block's derived constants (``on_fence_param``
+    # hook) and makes the runner RETRACE the compiled step at the next
+    # batch/chunk boundary instead of merely rebinding a params leaf.
+    fence: bool = False
 
 
 def param(default, dtype=np.float32, settable=True, doc="") -> ParamSpec:
@@ -157,20 +164,35 @@ class Block:
         return _PortRef(self, self.input_port(port).name)
 
     # -- parameters -----------------------------------------------------
-    def declare_param(self, name: str, default, dtype=np.float32, settable=True, doc="") -> None:
-        self._param_specs[name] = ParamSpec(name, default, dtype, settable, doc)
+    def declare_param(self, name: str, default, dtype=np.float32, settable=True,
+                      doc="", fence=False) -> None:
+        self._param_specs[name] = ParamSpec(name, default, dtype, settable,
+                                            doc, fence)
         self._param_values[name] = default
 
     def set_param(self, name: str, value) -> None:
         """Set a parameter. While running, takes effect on the next batch —
         the runner rebinds the params pytree leaf (the analog of the
-        reference's queued param_change_action, minus the queue)."""
+        reference's queued param_change_action, minus the queue). A FENCE
+        parameter (ParamSpec.fence) additionally calls the block's
+        ``on_fence_param(name, value)`` hook to rebuild trace-time
+        constants and asks the runner to retrace the compiled step at the
+        next batch/chunk boundary (scan-mode bounded runs compile the
+        whole stream as one program, so fences there apply only when set
+        before run())."""
         spec = self._param_specs[name]
         if not spec.settable:
             raise ValueError(f"parameter {name} of {self.name} is not settable")
         self._param_values[name] = value
+        if spec.fence:
+            hook = getattr(self, "on_fence_param", None)
+            if hook is not None:
+                hook(name, value)
         if self._runtime is not None:
-            self._runtime.invalidate_params(self)
+            if spec.fence and hasattr(self._runtime, "invalidate_fence"):
+                self._runtime.invalidate_fence(self)
+            else:
+                self._runtime.invalidate_params(self)
 
     def get_param(self, name: str):
         return self._param_values[name]

@@ -81,9 +81,18 @@ def _eval_static(expr: str, statics: dict, frac: bool = False):
             return -v if isinstance(node.op, ast.USub) else not v
         if isinstance(node, ast.BinOp):
             a, b = walk(node.left), walk(node.right)
+            def _pow():
+                # ADVICE r4: unbounded '2**2**64' would hang/OOM at block
+                # construction; sizing expressions never need big powers.
+                if not (-64 <= b <= 64) or abs(a) > (1 << 32):
+                    raise ValueError(
+                        f"power out of range in descriptor expression "
+                        f"{expr!r} (|exponent| <= 64, |base| <= 2^32)")
+                return a ** b
+
             ops = {ast.Add: lambda: a + b, ast.Sub: lambda: a - b,
                    ast.Mult: lambda: a * b, ast.FloorDiv: lambda: a // b,
-                   ast.Mod: lambda: a % b, ast.Pow: lambda: a ** b,
+                   ast.Mod: lambda: a % b, ast.Pow: _pow,
                    ast.Div: lambda: Fraction(a) / b if frac else a / b}
             fn = ops.get(type(node.op))
             if fn is None:

@@ -7,11 +7,12 @@ block living in another process stays reachable mid-run. Here the same
 capability is one REP socket per partition:
 
     process B (runs partition "tail"):
-        rt = Runtime(parts, control_addresses={"tail": "tcp://*:5701"})
+        rt = Runtime(parts,
+                     control_addresses={"tail": "tcp://127.0.0.1:5701"})
         rt.run()                # control server thread starts with it
 
     process A (anyone holding the address):
-        ctl = RuntimeClient("tcp://hostB:5701")
+        ctl = RuntimeClient("tcp://127.0.0.1:5701")
         ctl.set_param("mc0", "k", 3.0)      # applied before the next batch
         ctl.post_msg("fwd0", "in", {"cmd": "retune"})
         ctl.stop()
@@ -20,13 +21,34 @@ Every request is acknowledged; set_param/post_msg resolve the block BY
 NAME inside the partition and go through the ordinary control plane
 (Block.set_param -> runner param rebind between batches; runner message
 queue -> handler drain), so remote and local control have identical
-batch-boundary semantics. Values ride as pickle — the control socket
-trusts its peers exactly as the reference's runtime_proxy trusts its
-remote runtimes; bind it to loopback/private interfaces.
+batch-boundary semantics.
+
+**SECURITY — read before binding anything but loopback.** Values ride as
+pickle, and unpickling attacker-controlled bytes is REMOTE CODE
+EXECUTION: anyone who can reach the port owns the process. This matches
+the reference's runtime_proxy trust model (it executes whatever its
+peer runtimes send), but it must be deployed accordingly: bind loopback
+(``tcp://127.0.0.1:...``) or ``ipc://`` endpoints, or a private
+cluster interface — never ``tcp://*``. For links that cross a machine
+boundary, pass a shared ``auth_key`` to BOTH ends: every frame is then
+prefixed with an HMAC-SHA256 tag that the server verifies BEFORE any
+pickle.loads (unauthenticated frames are dropped with an error reply
+and never deserialized). The HMAC authenticates but does not encrypt —
+use a private network or an SSH/WireGuard tunnel for confidentiality.
+Binding a non-loopback tcp address without an auth_key logs a warning.
+
+**get_param semantics (pending value):** the server reads the HOST-side
+parameter value. In scan/chunked execution the device program rebinds
+params at batch/chunk granularity, so a get_param immediately after a
+set_param reports the new (PENDING) value — possibly one batch before
+the device program computes with it. It answers "what was last
+requested", not "what did the last batch use".
 """
 
 from __future__ import annotations
 
+import hashlib
+import hmac as hmac_mod
 import pickle
 import threading
 import time
@@ -36,6 +58,37 @@ from newsched_tpu.utils.logger import get_logger
 
 log = get_logger("control")
 
+_TAG_LEN = 32  # HMAC-SHA256
+
+
+def _seal(payload: bytes, key: bytes | None) -> bytes:
+    if key is None:
+        return payload
+    return hmac_mod.new(key, payload, hashlib.sha256).digest() + payload
+
+
+def _unseal(frame: bytes, key: bytes | None) -> bytes | None:
+    """Payload if authentic, None otherwise. MUST run before any
+    deserialization — pickle.loads on an unauthenticated frame is RCE."""
+    if key is None:
+        return frame
+    if len(frame) < _TAG_LEN:
+        return None
+    tag, payload = frame[:_TAG_LEN], frame[_TAG_LEN:]
+    good = hmac_mod.new(key, payload, hashlib.sha256).digest()
+    return payload if hmac_mod.compare_digest(tag, good) else None
+
+
+def _warn_if_exposed(address: str, key: bytes | None) -> None:
+    a = address.lower()
+    if key is None and a.startswith("tcp://") and not (
+            "127.0.0.1" in a or "localhost" in a or "[::1]" in a):
+        log.warning(
+            "control plane bound to %s WITHOUT auth_key: the wire format "
+            "is pickle (= remote code execution for any peer that can "
+            "connect). Bind loopback/ipc, or pass a shared auth_key.",
+            address)
+
 
 class ControlServer:
     """REP socket serving set_param/post_msg/stop/ping for one partition.
@@ -43,14 +96,19 @@ class ControlServer:
     Runs on its own thread; requests mutate host-side block/runner state,
     which the runner consumes at its existing batch/chunk boundaries."""
 
-    def __init__(self, address: str, resolve_runner, resolve_block):
+    def __init__(self, address: str, resolve_runner, resolve_block,
+                 auth_key: bytes | None = None):
         """resolve_runner() -> Runner | None (None while starting up);
-        resolve_block(name) -> Block | None."""
+        resolve_block(name) -> Block | None. auth_key: shared HMAC key —
+        frames failing verification are rejected before deserialization
+        (module docstring security note)."""
         import zmq
 
         self.address = address
         self._resolve_runner = resolve_runner
         self._resolve_block = resolve_block
+        self._key = auth_key
+        _warn_if_exposed(address, auth_key)
         self._ctx = zmq.Context.instance()
         self._sock = self._ctx.socket(zmq.REP)
         self._sock.bind(address)
@@ -72,13 +130,25 @@ class ControlServer:
         while not self._stop.is_set():
             if not dict(poller.poll(100)):
                 continue
+            authed = False
             try:
-                req = pickle.loads(self._sock.recv())
-                rep = self._handle(req)
+                payload = _unseal(self._sock.recv(), self._key)
+                if payload is None:
+                    log.warning("control frame failed HMAC auth — dropped "
+                                "without deserializing")
+                    rep = {"ok": False, "error": "auth failed"}
+                else:
+                    authed = True
+                    req = pickle.loads(payload)
+                    rep = self._handle(req)
             except Exception as e:  # malformed frame / handler error
                 rep = {"ok": False, "error": repr(e)}
             try:
-                self._sock.send(pickle.dumps(rep))
+                # auth-failure replies go UNSEALED so the rejected peer
+                # can read the error (the reply carries no secrets; a
+                # keyed reply would be unparseable garbage to it)
+                self._sock.send(_seal(pickle.dumps(rep),
+                                      self._key if authed else None))
             except Exception:
                 log.exception("control reply failed")
 
@@ -122,10 +192,12 @@ class ControlServer:
 class RuntimeClient:
     """REQ-side handle to a remote partition's ControlServer."""
 
-    def __init__(self, address: str, timeout_ms: int = 5000):
+    def __init__(self, address: str, timeout_ms: int = 5000,
+                 auth_key: bytes | None = None):
         import zmq
 
         self._ctx = zmq.Context.instance()
+        self._key = auth_key
         self._sock = self._ctx.socket(zmq.REQ)
         self._sock.setsockopt(zmq.RCVTIMEO, timeout_ms)
         self._sock.setsockopt(zmq.SNDTIMEO, timeout_ms)
@@ -133,8 +205,11 @@ class RuntimeClient:
         self._sock.connect(address)
 
     def _call(self, **req) -> Any:
-        self._sock.send(pickle.dumps(req))
-        rep = pickle.loads(self._sock.recv())
+        self._sock.send(_seal(pickle.dumps(req), self._key))
+        payload = _unseal(self._sock.recv(), self._key)
+        if payload is None:
+            raise RuntimeError("remote control reply failed HMAC auth")
+        rep = pickle.loads(payload)
         if not rep.get("ok"):
             raise RuntimeError(f"remote control failed: {rep.get('error')}")
         return rep.get("value")

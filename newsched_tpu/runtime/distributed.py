@@ -100,7 +100,8 @@ class Runtime:
 
     def __init__(self, partitions: dict[str, Flowgraph],
                  total_items: dict[str, int] | None = None,
-                 control_addresses: dict[str, str] | None = None):
+                 control_addresses: dict[str, str] | None = None,
+                 control_auth_key: bytes | None = None):
         self.partitions = partitions
         self.total_items = total_items or {}
         self._threads: list[threading.Thread] = []
@@ -122,7 +123,8 @@ class Runtime:
                 return next((b for b in _fg.blocks if b.name == bname), None)
 
             self._control_servers.append(ControlServer(
-                addr, lambda _n=name: self._runners.get(_n), _blk))
+                addr, lambda _n=name: self._runners.get(_n), _blk,
+                auth_key=control_auth_key))
 
     def start(self) -> None:
         from newsched_tpu.runtime.block import StreamAborted

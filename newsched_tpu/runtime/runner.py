@@ -66,10 +66,18 @@ class Runner:
                                      tag_capacity_limit=tag_capacity_limit)
         self._msg_queue: collections.deque = collections.deque()
         self._dirty_params: set[str] = set()
+        self._fence_dirty = False
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._has_host_io = any(getattr(b, "host_io", False) for b in self.cfg.order)
         self._has_pacing = any(getattr(b, "pacing", None) for b in self.cfg.order)
+        self._jit_step = self._make_jit_step()
+
+    def _make_jit_step(self):
+        """A FRESH closure each call: jax.jit caches by function identity,
+        so rebuilding after a fence-parameter change forces a retrace that
+        picks up the block's new trace-time constants (recompile fence,
+        runtime/block.py ParamSpec.fence)."""
         step = self.cfg.step
 
         def step_enc(states_enc, params_enc, host_ins_enc):
@@ -77,7 +85,7 @@ class Runner:
                           cplx.decode(host_ins_enc))
             return cplx.encode(ns), cplx.encode(so)
 
-        self._jit_step = jax.jit(step_enc, donate_argnums=(0,))
+        return jax.jit(step_enc, donate_argnums=(0,))
 
     def _init_states_enc(self):
         """Build initial states ON DEVICE inside a program (eager complex
@@ -90,6 +98,13 @@ class Runner:
     # -- control plane ---------------------------------------------------
     def invalidate_params(self, block) -> None:
         self._dirty_params.add(block.name)
+
+    def invalidate_fence(self, block) -> None:
+        """A recompile-fence parameter changed: rebind the params leaf AND
+        retrace the compiled step at the next batch/chunk boundary (the
+        block already rebuilt its trace-time constants in set_param)."""
+        self._dirty_params.add(block.name)
+        self._fence_dirty = True
 
     def enqueue_msg(self, block, port: str, msg: Any) -> None:
         self._msg_queue.append((block, port, msg))
@@ -244,6 +259,9 @@ class Runner:
                 for name in dirty:
                     blk = next(b for b in self.cfg.order if b.name == name)
                     params[name] = cplx.encode(blk.param_leaves())
+                if self._fence_dirty:
+                    self._fence_dirty = False
+                    self._jit_step = self._make_jit_step()
                 host_ins = cplx.encode(
                     {b.name: b.host_pull(self.cfg.n_out[b.name]) for b in pullers}
                 )
@@ -463,18 +481,24 @@ class Runner:
         """Unbounded device-pure stream as repeated ``lax.scan`` chunks.
         stop() and parameter changes take effect at chunk granularity;
         sink data is host-fetched once per chunk and delivered on stop."""
-        step = self.cfg.step
+        def make_chunk():
+            # fresh closure per fence retrace (see _make_jit_step)
+            step = self.cfg.step
 
-        @jax.jit
-        def run_chunk(states_enc, params_enc):
-            params = cplx.decode(params_enc)
+            @jax.jit
+            def run_chunk(states_enc, params_enc):
+                params = cplx.decode(params_enc)
 
-            def scan_fn(se, _):
-                ns, so = step(cplx.decode(se), params)
-                return cplx.encode(ns), cplx.encode(so)
+                def scan_fn(se, _):
+                    ns, so = step(cplx.decode(se), params)
+                    return cplx.encode(ns), cplx.encode(so)
 
-            return jax.lax.scan(scan_fn, states_enc, xs=None, length=chunk)
+                return jax.lax.scan(scan_fn, states_enc, xs=None,
+                                    length=chunk)
 
+            return run_chunk
+
+        run_chunk = make_chunk()
         states = self._init_states_enc()
         params = self._params_enc()
         per_sink: dict[str, list] = {name: [] for name in self.cfg.sink_totals}
@@ -484,6 +508,9 @@ class Runner:
             for name in dirty:
                 blk = next(b for b in self.cfg.order if b.name == name)
                 params[name] = cplx.encode(blk.param_leaves())
+            if self._fence_dirty:
+                self._fence_dirty = False
+                run_chunk = make_chunk()
             states, stacked = run_chunk(states, params)
             host = jax.device_get(stacked)
             for name, v in host.items():

@@ -6,6 +6,7 @@ import subprocess
 import sys
 import tempfile
 
+
 import numpy as np
 import pytest
 
@@ -254,7 +255,7 @@ def test_remote_control_set_param_mid_stream_threads():
     fg.connect(mc, 0, snk, 0)
     parts = partition_flowgraph(fg, {"dsp": [src, thr, mc],
                                      "collect": [snk]})
-    addr = "tcp://127.0.0.1:53471"
+    addr = f"ipc:///tmp/nst_ctl_{os.getpid()}.ipc"
     rt = Runtime(parts, total_items={"collect": n, "dsp": n},
                  control_addresses={"dsp": addr})
     rt.start()
@@ -314,8 +315,8 @@ def test_remote_control_true_multiprocess():
     from newsched_tpu.blocks import zmq as zb
     from newsched_tpu.runtime.control import RuntimeClient
 
-    data_addr = "tcp://127.0.0.1:53472"
-    ctl_addr = "tcp://127.0.0.1:53473"
+    data_addr = f"ipc:///tmp/nst_data_{os.getpid()}.ipc"
+    ctl_addr = f"ipc:///tmp/nst_ctl2_{os.getpid()}.ipc"
     n = 30720
     child = subprocess.Popen(
         [sys.executable, "-c", CONTROLLED_SENDER, data_addr, ctl_addr],
@@ -345,3 +346,36 @@ def test_remote_control_true_multiprocess():
         except subprocess.TimeoutExpired:
             child.kill()
             child.wait()
+
+
+def test_control_plane_hmac_auth():
+    """Round-5 hardening (ADVICE r4): with a shared auth_key, frames are
+    HMAC-verified BEFORE deserialization — an unauthenticated client is
+    rejected (its pickles never load), the keyed client works, and a
+    wrong-keyed client is rejected too."""
+    import time
+
+    from newsched_tpu.runtime.control import ControlServer, RuntimeClient
+
+    addr = f"ipc:///tmp/nst_auth_{os.getpid()}.ipc"
+    mc = gmath.multiply_const(2.0, dtype="rf32", name="mc_auth")
+    srv = ControlServer(addr, lambda: None, lambda n: mc if n == "mc_auth"
+                        else None, auth_key=b"sekrit")
+    try:
+        good = RuntimeClient(addr, timeout_ms=2000, auth_key=b"sekrit")
+        good.ping()
+        good.set_param("mc_auth", "k", 7.0)
+        assert float(good.get_param("mc_auth", "k")) == 7.0
+        bad = RuntimeClient(addr, timeout_ms=2000)  # no key
+        with pytest.raises(RuntimeError):
+            bad.ping()
+        bad.close()
+        wrong = RuntimeClient(addr, timeout_ms=2000, auth_key=b"other")
+        with pytest.raises(RuntimeError):
+            wrong.ping()
+        wrong.close()
+        # the server is still healthy for the keyed client afterwards
+        good.ping()
+        good.close()
+    finally:
+        srv.close()

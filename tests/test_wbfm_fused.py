@@ -220,3 +220,118 @@ def test_wbfm_live_source_matches_golden_interpret():
                        gain_real)
     assert a.shape == ref[: len(a)].shape
     assert snr_db(ref[: len(a)], a) > 100
+
+
+def _fm_tone(n, fs, f):
+    t = np.arange(n) / fs
+    return np.exp(2j * np.pi * f * t).astype(np.complex64)
+
+
+def test_wbfm_fused_recompile_fence_retune_local():
+    """VERDICT r4 item #5: center_freq is a RECOMPILE-FENCE parameter —
+    set_param on a RUNNING fused wbfm rebuilds the rotated-taps plan and
+    the runner retraces at a batch boundary; the output re-locks to the
+    new tuning (junction state is raw input rows, so no glitch machinery
+    is needed)."""
+    import time
+
+    fs, dev = 1e6, 75e3
+    f_tone = 231_250.0
+    batch = 61440  # R=960 rows: >= B8 boundary (568) for the real taps
+    n_batches = 16
+    n = batch * n_batches
+    x = _fm_tone(batch * 4, fs, f_tone)
+
+    from newsched_tpu.blocks import analog
+    from newsched_tpu.runtime.graph import Flowgraph
+
+    src = general.vector_source(x, repeat=True)
+    thr = general.throttle(n / 1.2)  # ~1.2 s run: time to poke it
+    blk = analog.wbfm_rcv_fused(
+        firdes.low_pass(1.0, fs, 100e3, 30e3), center_freq=200e3, fs=fs,
+        decim=4, deviation=dev, resamp_decim=5, interpret=True)
+    hd = general.head(n // 20, dtype="rf32")
+    snk = general.vector_sink(dtype="rf32")
+    fg = Flowgraph(batch_size=batch)
+    fg.connect(src, 0, thr, 0)
+    fg.connect(thr, 0, blk, 0)
+    fg.connect(blk, 0, hd, 0)
+    fg.connect(hd, 0, snk, 0)
+    fg.validate()
+    runner = fg.start(collect_stats=True)
+    # trigger on actual stream progress, not wall time (first-batch
+    # compile time would otherwise eat the whole throttle budget)
+    t0 = time.monotonic()
+    while runner.stats["batches"] < n_batches // 3:
+        time.sleep(0.01)
+        assert time.monotonic() - t0 < 60
+    blk.set_param("center_freq", 250e3)
+    fg.wait()
+    got = np.asarray(snk.data())
+    a1 = (f_tone - 200e3) / dev   # 0.4167 audio constant before retune
+    a2 = (f_tone - 250e3) / dev   # -0.25 after
+    near1 = np.abs(got - a1) < 5e-3
+    near2 = np.abs(got - a2) < 5e-3
+    # both tunings present, settled, with one clean switch: everything
+    # before the first a2-lock is a1 (modulo the short filter settle)
+    assert near1.sum() > len(got) // 10, near1.sum()
+    assert near2.sum() > len(got) // 10, near2.sum()
+    sw = np.argmax(near2)
+    assert sw > 512, sw             # a real pre-retune region exists
+    assert near1[256: sw - 64].all()  # pre-switch solidly at a1 (skip
+    assert near2[sw:].all()           # the stream-start filter settle)
+
+
+def test_wbfm_fused_retune_over_control_socket():
+    """The same retune END-TO-END over the round-4 control plane: a
+    RuntimeClient sets center_freq on a fused wbfm running in another
+    partition; the stream re-locks (SURVEY §4.4 RPC path + §8 fence)."""
+    import time
+
+    from newsched_tpu.runtime.control import RuntimeClient
+    from newsched_tpu.runtime.distributed import (Runtime,
+                                                  partition_flowgraph)
+    from newsched_tpu.runtime.graph import Flowgraph
+
+    fs, dev = 1e6, 75e3
+    f_tone = 231_250.0
+    batch = 61440
+    n = batch * 16
+    x = _fm_tone(batch * 4, fs, f_tone)
+    from newsched_tpu.blocks import analog
+
+    fg = Flowgraph(batch_size=batch)
+    src = general.vector_source(x, repeat=True)
+    thr = general.throttle(n / 1.2)
+    blk = analog.wbfm_rcv_fused(
+        firdes.low_pass(1.0, fs, 100e3, 30e3), center_freq=200e3, fs=fs,
+        decim=4, deviation=dev, resamp_decim=5, interpret=True)
+    snk = general.vector_sink(dtype="rf32")
+    hd = general.head(n // 20, dtype="rf32")
+    fg.connect(src, 0, thr, 0)
+    fg.connect(thr, 0, blk, 0)
+    fg.connect(blk, 0, hd, 0)
+    fg.connect(hd, 0, snk, 0)
+    pieces = partition_flowgraph(fg, {"dsp": [src, thr, blk, hd],
+                                      "collect": [snk]})
+    addr = "ipc:///tmp/nst_wbfm_retune.ipc"
+    rt = Runtime(pieces, total_items={"dsp": n, "collect": n // 20},
+                 control_addresses={"dsp": addr})
+    rt.start()
+    ctl = RuntimeClient(addr)
+    ctl.ping()
+    time.sleep(1.0)  # past first-batch compile + a few throttled batches
+    assert float(ctl.get_param(blk.name, "center_freq")) == 200e3
+    ctl.set_param(blk.name, "center_freq", 250e3)
+    rt.wait()
+    ctl.close()
+    got = np.asarray(snk.data())
+    a1 = (f_tone - 200e3) / dev
+    a2 = (f_tone - 250e3) / dev
+    near1 = np.abs(got - a1) < 5e-3
+    near2 = np.abs(got - a2) < 5e-3
+    assert near1.sum() > len(got) // 20, near1.sum()
+    assert near2.sum() > len(got) // 20, near2.sum()
+    sw = np.argmax(near2)
+    assert sw > 512, sw
+    assert near1[256: sw - 64].all() and near2[sw:].all()
