@@ -216,7 +216,7 @@ def _wait_window(local_hbm, halo_hbm, win, sem_l, sem_h, i, slot, *,
 def _compute_tile(cur, carry_prev, carry_tail, c_ref, w_ref, h_ref,
                   whi_ref, wlo_ref, hhi_ref, hlo_ref, aud_ref, *,
                   T: int, L: int, H8: int, M: int, A: int, gain: float,
-                  precision):
+                  precision, ag: int = 1):
     """The fused chain's per-tile compute: arm fold (VPU) -> DFT matmul
     (MXU) -> quadrature demod (VPU, polynomial atan2) -> audio Toeplitz
     matmul (MXU). ``cur`` is any (T+H8, 2M) window ref (DMA'd slot or
@@ -241,10 +241,22 @@ def _compute_tile(cur, carry_prev, carry_tail, c_ref, w_ref, h_ref,
     # (-113 dBc) — drop 4 FMA steps there; HIGHEST keeps degree 9.
     aud = atan2(PI, PR, deg=5 if precision == "split3" else 9) \
         * jnp.float32(gain)                           # (T, 2M) dup halves
-    # audio FIR + decimation (Toeplitz matmul over [tail; aud])
+    # audio FIR + decimation (Toeplitz matmul over [tail; aud]).
+    # ag > 1 = round-5 BANDED form (same argument as the wbfm xlate,
+    # ops/pallas/wbfm_chain.py _xlate_demod): output group g reads only
+    # rows [g*T/ag, g*T/ag + T/ag + A-1) of audfull — free row slices of
+    # the value, ONE shared shifted Toeplitz, (A-1+T)/(A-1+T/ag)x fewer
+    # MXU flops, ulp-equal outputs (structural zeros dropped).
     audfull = jnp.concatenate([carry_tail[:, :], aud], axis=0)  # (A-1+T, 2M)
-    aud_ref[:, :] = _mm(h_ref[:, :], audfull, precision,
-                        a_split=(hhi_ref[:, :], hlo_ref[:, :]))  # (T//decim, 2M)
+    if ag > 1:
+        gstep = T // ag
+        aud_ref[:, :] = jnp.concatenate([
+            _mm(h_ref[:, :], audfull[g * gstep: g * gstep + gstep + A - 1, :],
+                precision, a_split=(hhi_ref[:, :], hlo_ref[:, :]))
+            for g in range(ag)], axis=0)
+    else:
+        aud_ref[:, :] = _mm(h_ref[:, :], audfull, precision,
+                            a_split=(hhi_ref[:, :], hlo_ref[:, :]))
     # carry for the next tile
     carry_prev[:, :] = Y[T - 1:T, :]
     carry_tail[:, :] = aud[T - (A - 1):, :]
@@ -255,7 +267,7 @@ def _kernel(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
             aud_ref, prev_out_ref, tail_out_ref,
             win, carry_prev, carry_tail, sem_l, sem_h, *,
             T: int, L: int, H8: int, M: int, A: int, gain: float, s: int,
-            NT: int, precision=jax.lax.Precision.HIGHEST):
+            NT: int, precision=jax.lax.Precision.HIGHEST, ag: int = 1):
     """One grid tile of the fused chain.
 
     Window layout: the conceptual row stream is vp = [halo(s*T + H8 rows);
@@ -291,7 +303,8 @@ def _kernel(local_hbm, halo_hbm, prev0_ref, tail0_ref, c_ref, w_ref, h_ref,
     _wait_window(local_hbm, halo_hbm, win, sem_l, sem_h, i, slot, **dma)
     _compute_tile(win.at[slot], carry_prev, carry_tail, c_ref, w_ref, h_ref,
                   whi_ref, wlo_ref, hhi_ref, hlo_ref, aud_ref,
-                  T=T, L=L, H8=H8, M=M, A=A, gain=gain, precision=precision)
+                  T=T, L=L, H8=H8, M=M, A=A, gain=gain, precision=precision,
+                  ag=ag)
 
     @pl.when(i == n - 1)
     def _():
@@ -379,6 +392,21 @@ def _stage_b(yprev, carry_prev, carry_tail, h_ref, hhi_ref, hlo_ref,
     carry_tail[:, :] = aud[T - (A - 1):, :]
 
 
+def _pick_audio_groups(tile: int, decim: int, A: int) -> int:
+    """Banded audio Toeplitz group count (see _compute_tile ag).
+
+    MEASURED-REJECTED for the flagship config (v5e, 2026-08-21,
+    alternating min-of-6 chain-only A/B at tile=512/decim=8/A=65):
+    ag=1 98.7-99.5 us, ag=2 104.1, ag=4 106.3 — unlike the wbfm xlate
+    (where banding wins 2.10x, ops/pallas/wbfm_chain.py), this stage is
+    only ~10 us and its output side is just 64 rows/tile, so splitting
+    into (32, 320) or (16, 192) matmuls costs more in MXU underutilization
+    and concat overhead than the 1.8-3x flop cut saves. Auto therefore
+    stays 1; the mechanism remains for configs with bigger audio stages
+    (callers can monkeypatch/measure per the BASELINE discipline)."""
+    return 1
+
+
 def _pick_tile(n_out: int, tile: int, decim: int) -> int:
     if n_out % tile != 0:
         if n_out <= tile:
@@ -446,7 +474,8 @@ def fm_chain_step_planes(vb: jax.Array, halo: jax.Array, prev0: jax.Array,
     n_ext = n_loc + warm
     c2 = planes_taps(arm_c)
     W2 = planes_dft_matrix(M)
-    Haud = audio_toeplitz(ataps, tile, decim)
+    ag = 1 if pipelined else _pick_audio_groups(tile, decim, A)
+    Haud = audio_toeplitz(ataps, tile // ag, decim)
     Whi, Wlo = _presplit(W2)
     Hhi, Hlo = _presplit(Haud)
     NT = n_ext // tile
@@ -467,7 +496,7 @@ def fm_chain_step_planes(vb: jax.Array, halo: jax.Array, prev0: jax.Array,
     else:
         kernel = functools.partial(_kernel, T=tile, L=L, H8=H8, M=M, A=A,
                                    gain=float(gain), s=warm // tile,
-                                   NT=NT, precision=precision)
+                                   NT=NT, precision=precision, ag=ag)
         grid = (NT,)
         aud_map = lambda i: (i, 0)  # noqa: E731
     scratch += [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
@@ -518,7 +547,7 @@ def _kernel_gen(ghi_ref, glo_ref, amp_ref, carry0_ref, prev0_ref, tail0_ref,
                 aud_ref, prev_out_ref, tail_out_ref, carry_out_ref,
                 win, carry_prev, carry_tail, *,
                 T: int, L: int, H8: int, M: int, A: int, gain: float,
-                NT: int, seed: int, precision):
+                NT: int, seed: int, precision, ag: int = 1):
     """Gen-mode tile: the window is GENERATED in VMEM (hardware PRNG +
     Irwin-Hall, ops/pallas/noise.py) instead of DMA'd from HBM — the
     whole live noise flagship becomes zero-input-traffic. Tile i's fresh
@@ -543,7 +572,8 @@ def _kernel_gen(ghi_ref, glo_ref, amp_ref, carry0_ref, prev0_ref, tail0_ref,
     win[H8:, :] = gen_rows(jnp.int32(seed), ghi, glo, T, 2 * M) * amp_ref[0]
     _compute_tile(win, carry_prev, carry_tail, c_ref, w_ref, h_ref,
                   whi_ref, wlo_ref, hhi_ref, hlo_ref, aud_ref,
-                  T=T, L=L, H8=H8, M=M, A=A, gain=gain, precision=precision)
+                  T=T, L=L, H8=H8, M=M, A=A, gain=gain, precision=precision,
+                  ag=ag)
 
     @pl.when(i == NT - 1)
     def _():
@@ -595,13 +625,14 @@ def fm_chain_gen_step(ghi: jax.Array, glo: jax.Array, amp: jax.Array,
         raise ValueError(f"tile {tile} too small for A={A}, H8={H8}")
     c2 = planes_taps(arm_c)
     W2 = planes_dft_matrix(M)
-    Haud = audio_toeplitz(ataps, tile, decim)
+    ag = _pick_audio_groups(tile, decim, A)
+    Haud = audio_toeplitz(ataps, tile // ag, decim)
     Whi, Wlo = _presplit(W2)
     Hhi, Hlo = _presplit(Haud)
     NT = n_loc // tile
     kernel = functools.partial(_kernel_gen, T=tile, L=L, H8=H8, M=M, A=A,
                                gain=float(gain), NT=NT, seed=int(seed),
-                               precision=precision)
+                               precision=precision, ag=ag)
     n_aud = n_loc // decim
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -645,7 +676,7 @@ def _kernel_gen_warm(ghi_ref, glo_ref, amp_ref,
                      c_ref, w_ref, h_ref, whi_ref, wlo_ref, hhi_ref, hlo_ref,
                      aud_ref, win, carry_prev, carry_tail, *,
                      T: int, L: int, H8: int, M: int, A: int, gain: float,
-                     NT: int, warm: int, seed: int, precision):
+                     NT: int, warm: int, seed: int, precision, ag: int = 1):
     """STATELESS gen-mode tile: like ``_kernel_gen`` but with nothing
     carried between batches — the fold halo AND the demod/audio junction
     state are REGENERATED from the position-pure stream contract
@@ -679,7 +710,8 @@ def _kernel_gen_warm(ghi_ref, glo_ref, amp_ref,
                            mask_pre=True) * amp_ref[0]
     _compute_tile(win, carry_prev, carry_tail, c_ref, w_ref, h_ref,
                   whi_ref, wlo_ref, hhi_ref, hlo_ref, aud_ref,
-                  T=T, L=L, H8=H8, M=M, A=A, gain=gain, precision=precision)
+                  T=T, L=L, H8=H8, M=M, A=A, gain=gain, precision=precision,
+                  ag=ag)
     # next tile's halo = this tile's last H8 fresh rows
     win[0:H8, :] = win[T: T + H8, :]
 
@@ -729,13 +761,14 @@ def fm_chain_gen_warm_step(ghi: jax.Array, glo: jax.Array, amp: jax.Array,
                          f"first-tile halo regeneration spans one group")
     c2 = planes_taps(arm_c)
     W2 = planes_dft_matrix(M)
-    Haud = audio_toeplitz(ataps, tile, decim)
+    ag = _pick_audio_groups(tile, decim, A)
+    Haud = audio_toeplitz(ataps, tile // ag, decim)
     Whi, Wlo = _presplit(W2)
     Hhi, Hlo = _presplit(Haud)
     NT = (warm + n_loc) // tile
     kernel = functools.partial(_kernel_gen_warm, T=tile, L=L, H8=H8, M=M,
                                A=A, gain=float(gain), NT=NT, warm=warm,
-                               seed=int(seed), precision=precision)
+                               seed=int(seed), precision=precision, ag=ag)
     n_aud = (warm + n_loc) // decim
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
