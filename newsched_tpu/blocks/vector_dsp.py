@@ -310,13 +310,22 @@ class fm_noise_channelizer_source(Block):
                  gain: float = 1.0, amplitude: float = 1.0, seed: int = 0,
                  taps_per_arm: int | None = None, precision="split3",
                  generator: str = "auto", interpret: bool = False,
-                 name=None):
+                 noise_draws: int = 3, name=None):
+        # noise_draws: hardware-PRNG draws per element (Irwin-Hall
+        # N=2*draws). 3 (N=6) is the default stream; 2 (N=4) is the
+        # measured cheaper option (live flagship 140.9 -> 119.8 us/batch,
+        # +17.6%, BASELINE.md round-5 note) with support +-3.46 sigma and
+        # excess kurtosis -0.3 — a DIFFERENT stream (draws is part of the
+        # stream identity). The pure generator ignores it.
         super().__init__(name)
         from newsched_tpu.ops import firdes, pfb as pfb_ops
         from newsched_tpu.ops.pallas.fm_chain import _round8
 
         if generator not in ("auto", "hw", "pure"):
             raise ValueError(f"generator {generator!r} not in auto/hw/pure")
+        if noise_draws not in (2, 3):
+            raise ValueError(f"noise_draws {noise_draws} not in (2, 3)")
+        self.noise_draws = int(noise_draws)
         self.nchans = int(nchans)
         if taps is None:
             taps = firdes.prototype_channelizer_taps(self.nchans,
@@ -366,7 +375,8 @@ class fm_noise_channelizer_source(Block):
                 state["ghi"], state["glo"], params["amplitude"],
                 state["carry"], state["prev"], state["atail"], self.fold_c,
                 self.audio_taps, self.audio_decim, self.gain, n_loc,
-                seed=self.seed, precision=self.precision)
+                seed=self.seed, precision=self.precision,
+                noise_draws=self.noise_draws)
         else:
             # Portable twin: rows generated by the position-pure threefry
             # stream in XLA, chained into the planes mega-kernel (interpret
@@ -461,7 +471,8 @@ class fm_noise_channelizer_source(Block):
                 return fm_chain_gen_warm_step(
                     hi, lo, amp, self.fold_c, self.audio_taps,
                     self.audio_decim, self.gain, n_loc, warm=warm, tile=tile,
-                    seed=self.seed, precision=self.precision)
+                    seed=self.seed, precision=self.precision,
+                    noise_draws=self.noise_draws)
             from newsched_tpu.ops.pallas.fm_chain import (_round8,
                                                           fm_chain_step_planes)
             from newsched_tpu.ops.pallas.noise import (add_groups_signed,

@@ -179,7 +179,7 @@ def fm_channelizer(nchans: int = 64, fs: float = 100e6, taps_per_arm: int = 16,
                    source=None, batch_size: int | None = None, sink: str = "null",
                    deviation_frac: float = 0.3, fused: bool = False,
                    interpret: bool = False, precision="split3",
-                   audio_taps=None):
+                   audio_taps=None, noise_draws: int = 3):
     """Configs #2/#4: wideband channelizer + per-channel FM demod + per-
     channel audio decimating FIR. The headline benchmark chain.
 
@@ -201,7 +201,8 @@ def fm_channelizer(nchans: int = 64, fs: float = 100e6, taps_per_arm: int = 16,
         return _fm_channelizer_fused(nchans, chan_rate, taps_per_arm,
                                      audio_decim, n_samples, source,
                                      batch_size, sink, deviation_frac,
-                                     interpret, precision, audio_taps)
+                                     interpret, precision, audio_taps,
+                                     noise_draws)
     fg = Flowgraph("fm_channelizer", batch_size=batch_size)
     if source is None:
         source = analog.noise_source("gaussian", amplitude=0.5)
@@ -231,7 +232,7 @@ def fm_channelizer(nchans: int = 64, fs: float = 100e6, taps_per_arm: int = 16,
 def _fm_channelizer_fused(nchans, chan_rate, taps_per_arm, audio_decim,
                           n_samples, source, batch_size, sink,
                           deviation_frac, interpret, precision,
-                          audio_taps=None):
+                          audio_taps=None, noise_draws: int = 3):
     if audio_taps is None:
         audio_taps = firdes.low_pass(1.0, chan_rate, 0.4 * chan_rate / audio_decim,
                                      0.1 * chan_rate / audio_decim)
@@ -246,7 +247,7 @@ def _fm_channelizer_fused(nchans, chan_rate, taps_per_arm, audio_decim,
             nchans, None, audio_taps, audio_decim=audio_decim,
             gain=1.0 / (2 * np.pi * deviation_frac), amplitude=0.5, seed=0,
             taps_per_arm=taps_per_arm, precision=precision,
-            interpret=interpret)
+            interpret=interpret, noise_draws=noise_draws)
         bsz = None if batch_size is None else \
             max(batch_size // (nchans * audio_decim), 1)
         fg = Flowgraph("fm_channelizer_live", batch_size=bsz)

@@ -547,7 +547,8 @@ def _kernel_gen(ghi_ref, glo_ref, amp_ref, carry0_ref, prev0_ref, tail0_ref,
                 aud_ref, prev_out_ref, tail_out_ref, carry_out_ref,
                 win, carry_prev, carry_tail, *,
                 T: int, L: int, H8: int, M: int, A: int, gain: float,
-                NT: int, seed: int, precision, ag: int = 1):
+                NT: int, seed: int, precision, ag: int = 1,
+                draws: int = 3):
     """Gen-mode tile: the window is GENERATED in VMEM (hardware PRNG +
     Irwin-Hall, ops/pallas/noise.py) instead of DMA'd from HBM — the
     whole live noise flagship becomes zero-input-traffic. Tile i's fresh
@@ -569,7 +570,8 @@ def _kernel_gen(ghi_ref, glo_ref, amp_ref, carry0_ref, prev0_ref, tail0_ref,
     glo = lo + base
     wrapped = (glo ^ jnp.int32(-0x80000000)) < (lo ^ jnp.int32(-0x80000000))
     ghi = ghi_ref[0] + wrapped.astype(jnp.int32)
-    win[H8:, :] = gen_rows(jnp.int32(seed), ghi, glo, T, 2 * M) * amp_ref[0]
+    win[H8:, :] = gen_rows(jnp.int32(seed), ghi, glo, T, 2 * M,
+                           draws=draws) * amp_ref[0]
     _compute_tile(win, carry_prev, carry_tail, c_ref, w_ref, h_ref,
                   whi_ref, wlo_ref, hhi_ref, hlo_ref, aud_ref,
                   T=T, L=L, H8=H8, M=M, A=A, gain=gain, precision=precision,
@@ -591,7 +593,8 @@ def fm_chain_gen_step(ghi: jax.Array, glo: jax.Array, amp: jax.Array,
                       arm_c: np.ndarray, ataps: np.ndarray, decim: int,
                       gain: float, n_loc: int, tile: int = 512,
                       seed: int = 0,
-                      precision=jax.lax.Precision.HIGHEST):
+                      precision=jax.lax.Precision.HIGHEST,
+                      noise_draws: int = 3):
     """One batch of the fused chain with the input GENERATED in-kernel:
     the live noise flagship as a single source kernel (VERDICT r3 item #1).
 
@@ -632,7 +635,8 @@ def fm_chain_gen_step(ghi: jax.Array, glo: jax.Array, amp: jax.Array,
     NT = n_loc // tile
     kernel = functools.partial(_kernel_gen, T=tile, L=L, H8=H8, M=M, A=A,
                                gain=float(gain), NT=NT, seed=int(seed),
-                               precision=precision, ag=ag)
+                               precision=precision, ag=ag,
+                               draws=int(noise_draws))
     n_aud = n_loc // decim
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -676,7 +680,8 @@ def _kernel_gen_warm(ghi_ref, glo_ref, amp_ref,
                      c_ref, w_ref, h_ref, whi_ref, wlo_ref, hhi_ref, hlo_ref,
                      aud_ref, win, carry_prev, carry_tail, *,
                      T: int, L: int, H8: int, M: int, A: int, gain: float,
-                     NT: int, warm: int, seed: int, precision, ag: int = 1):
+                     NT: int, warm: int, seed: int, precision, ag: int = 1,
+                     draws: int = 3):
     """STATELESS gen-mode tile: like ``_kernel_gen`` but with nothing
     carried between batches — the fold halo AND the demod/audio junction
     state are REGENERATED from the position-pure stream contract
@@ -701,13 +706,13 @@ def _kernel_gen_warm(ghi_ref, glo_ref, amp_ref,
         # fold halo = last H8 rows of the group just before the warm region
         hhi, hlo = add_groups_signed(ghi, glo, jnp.int32(-1))
         blk = gen_rows(jnp.int32(seed), hhi, hlo, GROUP_ROWS, 2 * M,
-                       mask_pre=True)
+                       mask_pre=True, draws=draws)
         win[0:H8, :] = blk[GROUP_ROWS - H8:, :] * amp_ref[0]
         carry_prev[:, :] = jnp.zeros((1, 2 * M), jnp.float32)
         carry_tail[:, :] = jnp.zeros((A - 1, 2 * M), jnp.float32)
 
     win[H8:, :] = gen_rows(jnp.int32(seed), ghi, glo, T, 2 * M,
-                           mask_pre=True) * amp_ref[0]
+                           mask_pre=True, draws=draws) * amp_ref[0]
     _compute_tile(win, carry_prev, carry_tail, c_ref, w_ref, h_ref,
                   whi_ref, wlo_ref, hhi_ref, hlo_ref, aud_ref,
                   T=T, L=L, H8=H8, M=M, A=A, gain=gain, precision=precision,
@@ -720,7 +725,8 @@ def fm_chain_gen_warm_step(ghi: jax.Array, glo: jax.Array, amp: jax.Array,
                            arm_c: np.ndarray, ataps: np.ndarray, decim: int,
                            gain: float, n_loc: int, *, warm: int,
                            tile: int = 512, seed: int = 0,
-                           precision=jax.lax.Precision.HIGHEST):
+                           precision=jax.lax.Precision.HIGHEST,
+                           noise_draws: int = 3):
     """One SEGMENT of the gen-fused chain with no carried state at all:
     audio for stream rows [G*GROUP_ROWS, G*GROUP_ROWS + n_loc) where
     G = (ghi, glo), with the fold halo and the demod/audio junction state
@@ -768,7 +774,8 @@ def fm_chain_gen_warm_step(ghi: jax.Array, glo: jax.Array, amp: jax.Array,
     NT = (warm + n_loc) // tile
     kernel = functools.partial(_kernel_gen_warm, T=tile, L=L, H8=H8, M=M,
                                A=A, gain=float(gain), NT=NT, warm=warm,
-                               seed=int(seed), precision=precision, ag=ag)
+                               seed=int(seed), precision=precision, ag=ag,
+                               draws=int(noise_draws))
     n_aud = (warm + n_loc) // decim
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
