@@ -30,7 +30,7 @@ CPU_ENV = {
 
 EXAMPLES = ["fm_receiver.py", "channelizer.py", "yaml_block.py",
             "distributed_pipeline.py", "sharded_channelizer.py",
-            "live_flagship.py"]
+            "live_flagship.py", "retune_live_receiver.py"]
 
 
 def run(cmd, timeout, env=None, label=""):

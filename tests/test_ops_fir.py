@@ -157,3 +157,33 @@ def test_fft_filter_bailey_decim_and_errors():
     with pytest.raises(ValueError, match="fft_size"):
         fir_ops.fir_filter(taps, s, jnp.asarray(x), method="fft",
                            fft_method="mxu", fft_size=4096)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fft_filter_bailey_streaming_property(seed):
+    """Property: random taps/decim/batch splits through the Bailey
+    fast-conv equal scipy on the concatenated stream (streaming state
+    carried across uneven batch boundaries)."""
+    rng = np.random.default_rng(seed + 10)
+    ntaps = int(rng.integers(400, 2000))
+    decim = int(rng.choice([1, 2, 4]))
+    taps = (rng.standard_normal(ntaps) * np.hanning(ntaps)).astype(np.float32)
+    splits = [16384, 20480, 18432]
+    n = sum(splits)
+    pad = (-n) % decim
+    splits[-1] += pad
+    n += pad
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    s = fir_ops.fir_init_state(ntaps, dtype=jnp.complex64)
+    out, i0 = [], 0
+    for b in splits:
+        s, y = fir_ops.fir_filter(taps, s, jnp.asarray(x[i0:i0 + b]),
+                                  decim=decim, method="fft",
+                                  fft_method="mxu")
+        out.append(np.asarray(y))
+        i0 += b
+    y = np.concatenate(out)
+    ref = sig.lfilter(taps.astype(np.float64), [1.0],
+                      x.astype(np.complex128))[::decim]
+    assert snr_db(ref[: len(y)], y) > 85

@@ -335,3 +335,36 @@ def test_wbfm_fused_retune_over_control_socket():
     sw = np.argmax(near2)
     assert sw > 512, sw
     assert near1[256: sw - 64].all() and near2[sw:].all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_banded_xlate_matches_dense_property(seed):
+    """Round-5 banded xlate (groups > 1): random configs, banded vs dense
+    on the SAME input must agree to reduction-order ulps (the dropped
+    columns are structural zeros; only the MXU pairing changes)."""
+    from newsched_tpu.ops.pallas.wbfm_chain import (S, WbfmChainPlan,
+                                                    fold_planes,
+                                                    unfold_audio,
+                                                    wbfm_chain_step)
+
+    rng = np.random.default_rng(seed)
+    ntaps = int(rng.integers(17, 120))
+    A = int(rng.integers(9, 40)) | 1
+    c = sig.firwin(ntaps, 0.2)
+    rt = sig.firwin(A, 0.15)
+    D, Rd = 4, 5
+    dphase = int(rng.integers(1, 1 << 31))
+    n = 64 * 8 * D * Rd * int(rng.integers(2, 5))
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    xp = fold_planes(jnp.asarray(x))
+
+    outs = {}
+    for G in (1, 0):  # 0 = auto
+        plan = WbfmChainPlan(c, dphase, D, rt, Rd, 0.7,
+                             precision=jax.lax.Precision.HIGHEST,
+                             xlate_groups=G or None)
+        carry = jnp.zeros((plan.B8, 2 * S), jnp.float32)
+        aud, _ = wbfm_chain_step(xp, carry, plan, interpret=True)
+        outs[G] = np.asarray(unfold_audio(aud))
+    assert snr_db(outs[1], outs[0]) > 110
