@@ -421,6 +421,11 @@ class fm_noise_channelizer_source(Block):
                 f"{self.name}: per-device rows {n_loc} must be a multiple "
                 f"of the noise group ({GROUP_ROWS} rows)")
         A = len(self.audio_taps)
+        if self.h8 > GROUP_ROWS:
+            raise ValueError(
+                f"{self.name}: PFB halo {self.h8} rows exceeds one noise "
+                f"group ({GROUP_ROWS}): sharded halo regeneration covers "
+                f"one group (taps_per_arm <= {GROUP_ROWS + 1})")
         tile = _pick_tile(n_loc, min(512, n_loc), self.audio_decim)
         if tile % GROUP_ROWS or tile < self.h8 or A - 1 > tile:
             raise ValueError(

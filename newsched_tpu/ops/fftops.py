@@ -22,8 +22,6 @@ FFT path reads 130.2 dB, kept as fft_method="xla")."""
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
