@@ -45,16 +45,24 @@ def fft(
 # ---------------------------------------------------------------------------
 # Bailey 4-step MXU fast convolution (module docstring, config-3 ledger)
 
-_BAILEY_N1 = 128  # contraction width = the MXU tile; 16384 = 128 x 128
-_BAILEY_N = _BAILEY_N1 * _BAILEY_N1
+# Factorization split: 16384 = N1 x N2. Swept same-session (2026-08-21):
+# on pre-framed segments the bare conv stages read (64,256) 159.3 us vs
+# (128,128) 183.5 vs (256,64) 402.5 — but END-TO-END through the
+# zero-copy pipeline (alternating min-of-6) (128,128) wins decisively:
+# 182.9 us vs 245.5 for (64,256); the narrow 60-row segment reshapes and
+# the 4-row head gather cost more than the cheaper W1 stages save.
+# (128, 128) shipped; the split stays parameterized for re-measurement.
+_BAILEY_N1 = 128
+_BAILEY_N2 = 128
+_BAILEY_N = _BAILEY_N1 * _BAILEY_N2
 _bailey_cache: dict = {}
 
 
 def bailey_supported(ntaps: int, fft_size: int | None) -> bool:
     """The zero-copy pipeline rounds the overlap-save overlap up to whole
-    128-lane rows, so any ntaps with ceil((ntaps-1)/128) < 128 fits."""
+    N2-lane rows, so any ntaps with ceil((ntaps-1)/N2) < N1 fits."""
     return (fft_size in (None, _BAILEY_N)
-            and 1 < ntaps and -(-(ntaps - 1) // _BAILEY_N1) < _BAILEY_N1)
+            and 1 < ntaps and -(-(ntaps - 1) // _BAILEY_N2) < _BAILEY_N1)
 
 
 def bailey_plan(taps_np: np.ndarray):
@@ -65,13 +73,13 @@ def bailey_plan(taps_np: np.ndarray):
     columns), and the per-segment discard folds into W1inv (keep rows
     >= R0). Cached per taps (G3 is 128 batched zgemms, ~0.5 s, float64).
 
-    Returns (W1a (128, 120), W1b (128, R0), G3 (128, 128, 128),
-    W1k (128-R0, 128), R0) as complex64."""
+    Returns (W1a (N1, N1-R0), W1b (N1, R0), G3 (N1, N2, N2),
+    W1k (N1-R0, N1), R0) as complex64."""
     key = taps_np.tobytes()
     hit = _bailey_cache.get(key)
     if hit is not None:
         return hit
-    N1 = N2 = _BAILEY_N1
+    N1, N2 = _BAILEY_N1, _BAILEY_N2
     ntaps = int(taps_np.shape[0])
     R0 = -(-(ntaps - 1) // N2)
     if not bailey_supported(ntaps, None):
@@ -94,7 +102,7 @@ def bailey_plan(taps_np: np.ndarray):
             W1[:, step_rows:].astype(np.complex64),
             G3.astype(np.complex64),
             W1inv[R0:, :].astype(np.complex64), R0)
-    if len(_bailey_cache) > 8:  # bound trace-time memory (16.8 MB per plan)
+    if len(_bailey_cache) > 8:  # bound trace-time memory (~N*N2*8 B per plan)
         _bailey_cache.clear()
     _bailey_cache[key] = plan
     return plan
@@ -114,7 +122,7 @@ def bailey_filter(xfull: jax.Array, taps_np: np.ndarray, n_lin: int,
     vs scipy float64 (see BASELINE.md config-3 round-5 ledger)."""
     taps_np = np.asarray(taps_np)
     W1a, W1b, G3, W1k, R0 = bailey_plan(taps_np)
-    N1 = N2 = _BAILEY_N1
+    N1, N2 = _BAILEY_N1, _BAILEY_N2
     ntaps = int(taps_np.shape[0])
     step_rows = N1 - R0
     step = step_rows * N2
