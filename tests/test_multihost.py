@@ -135,3 +135,97 @@ def test_two_process_global_mesh_channelizer(tmp_path):
     snr = 10 * np.log10(np.mean(ref.astype(np.float64) ** 2)
                         / max(np.mean(err**2), 1e-300))
     assert snr > 100, snr
+
+
+LIVE_WORKER = r'''
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); outdir = sys.argv[2]; port = sys.argv[3]
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from newsched_tpu.blocks import vector_dsp
+from newsched_tpu.ops import firdes
+
+M, decim, n_dev = 16, 2, 8
+ataps = firdes.low_pass(1.0, 1.0, 0.1, 0.05, ntaps=17)
+src = vector_dsp.fm_noise_channelizer_source(
+    M, None, ataps, audio_decim=decim, taps_per_arm=4, seed=5,
+    interpret=True)
+mesh = Mesh(np.array(jax.devices()), ("t",))
+nout = n_dev * 64  # audio items/global batch -> 128 rows/device
+state = src.init_state_sharded(0, nout, mesh, "t")
+params = {k: jnp.asarray(v) for k, v in src.param_leaves().items()}
+
+@jax.jit
+def step(state, params):
+    return src.work_sharded(state, {}, params, nout, mesh=mesh, axis="t")
+
+outs = []
+for b in range(2):
+    state, out = step(state, params)
+    aud = out["out"]
+    local = np.concatenate(
+        [np.asarray(s.data) for s in
+         sorted(aud.addressable_shards, key=lambda s: s.index[0].start)])
+    outs.append(local)
+np.save(os.path.join(outdir, f"live_{pid}.npy"), np.concatenate(outs))
+print(f"proc {pid}: OK", flush=True)
+'''
+
+
+def test_two_process_global_mesh_live_source(tmp_path):
+    """Round 5: the LIVE gen-fused sharded source across a REAL process
+    boundary — each process's devices generate their own absolute group
+    ranges of the position-pure stream with ZERO collectives; the
+    assembled global audio equals the single-device block's stream."""
+    port = "52741"
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    ps = [subprocess.Popen([sys.executable, "-c", LIVE_WORKER, str(i),
+                            str(tmp_path), port],
+                           stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                           text=True, env=env)
+          for i in range(2)]
+    for i, p in enumerate(ps):
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in ps:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"proc {i}:\n{out[-1500:]}"
+
+    M, decim, n_dev = 16, 2, 8
+    nout = n_dev * 64
+    a0 = np.load(tmp_path / "live_0.npy")
+    a1 = np.load(tmp_path / "live_1.npy")
+    h = nout // 2
+    got = np.concatenate([a0[:h], a1[:h], a0[h:], a1[h:]], axis=0)
+
+    # single-device unsharded reference (pure generator, carried state)
+    import jax
+    import jax.numpy as jnp
+
+    from newsched_tpu.blocks import vector_dsp
+    from newsched_tpu.ops import firdes
+
+    ataps = firdes.low_pass(1.0, 1.0, 0.1, 0.05, ntaps=17)
+    src = vector_dsp.fm_noise_channelizer_source(
+        M, None, ataps, audio_decim=decim, taps_per_arm=4, seed=5,
+        interpret=True)
+    state = src.init_state(0, nout)
+    refs = []
+    for b in range(2):
+        state, out = src.work(state, {}, {k: jnp.asarray(v) for k, v in
+                                          src.param_leaves().items()}, nout)
+        refs.append(np.asarray(out["out"]))
+    ref = np.concatenate(refs, axis=0)
+    err = ref.astype(np.float64) - got.astype(np.float64)
+    p = float(np.mean(ref.astype(np.float64) ** 2))
+    snr = np.inf if err.max() == err.min() == 0 else \
+        10 * np.log10(p / float(np.mean(err ** 2)))
+    assert snr > 100, snr
