@@ -246,10 +246,26 @@ def bm_channelizer_fused(nchans: int = 64, n: int = 1 << 27, batch: int = 1 << 2
     return _time_graph(lambda: mk(n), n, batch // nchans, lambda: mk(4 * n))
 
 
+def bm_fir_chain_live(n: int = 1 << 25, batch: int = 1 << 21):
+    """Config #0 fully LIVE (round 5): fir_tone_source — the NCO tone is
+    generated in VMEM and FIR-filtered in one kernel pass (zero input
+    HBM, no carried state). Same-session A/B vs the staged chain
+    measured 82.1 vs 101.9 us/2^21 batch (1.24x; BASELINE config-0)."""
+    from newsched_tpu.models import fir_chain
+
+    def mk(nn):
+        fg, blocks = fir_chain(n_samples=nn, batch_size=batch,
+                               sink="null", source="live")
+        return fg
+
+    return _time_graph(lambda: mk(n), n, batch, lambda: mk(4 * n))
+
+
 ALL = {
     "copy_chain": bm_copy_chain,
     "fanout": bm_fanout,
     "fir_chain": bm_fir_chain,
+    "fir_chain_live": bm_fir_chain_live,
     "channelizer": bm_channelizer,
     "channelizer_fused": bm_channelizer_fused,
     "wbfm": bm_wbfm,

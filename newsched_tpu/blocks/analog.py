@@ -668,3 +668,118 @@ class wbfm_live_source(Block):
         return ({"phase": nco.nco_advance(state["phase"], params["dphase"],
                                           int(nout) * D * Rd),
                  "first": jnp.zeros((), jnp.int32)}, {"out": y})
+
+
+class fir_tone_source(Block):
+    """Config #0's whole chain as ONE live kernel (round 5): the fxpt-NCO
+    tone is generated in VMEM and FIR-filtered (+decimated) in the same
+    pass (ops/pallas/fir_source.py) — zero input HBM, and since a FIR has
+    no recursive state the only stream state is the phase counter. Emits
+    the filtered cf32 stream; real taps only (each [re | im] plane lane
+    filters independently). The simplest gen-fused source: the config-0
+    twin of fm_noise_channelizer_source / wbfm_live_source.
+
+    Shards under fg.run(mesh=...) with ZERO collectives via per-device
+    phase offsets (same argument as wbfm_live_source)."""
+
+    def __init__(self, sampling_freq: float, taps, frequency: float = 0.0,
+                 amplitude: float = 1.0, decim: int = 1,
+                 tile: int | None = None, precision="split3",
+                 interpret: bool = False, name=None):
+        super().__init__(name)
+        from fractions import Fraction
+
+        taps = np.asarray(taps)
+        if np.iscomplexobj(taps):
+            raise ValueError("fir_tone_source: real taps only")
+        self.taps = taps
+        self.decim = int(decim)
+        self.sampling_freq = float(sampling_freq)
+        self.tile = tile
+        self.precision = precision
+        self.interpret = bool(interpret)
+        self.relative_rate = Fraction(1)
+        self.add_output("out", "cf32")
+        self.declare_param("dphase", nco.freq_to_dphase(frequency,
+                                                        sampling_freq),
+                           dtype=np.uint32, doc="tone phase increment")
+        self.declare_param("amplitude", amplitude, dtype=np.float32)
+
+    def set_frequency(self, freq: float) -> None:
+        self.set_param("dphase", nco.freq_to_dphase(freq, self.sampling_freq))
+
+    def init_state(self, nin, nout):
+        return {"phase": jnp.zeros((), jnp.uint32),
+                "first": jnp.ones((), jnp.int32)}
+
+    def _fold_rows(self, nout: int) -> int:
+        from newsched_tpu.ops.pallas.fir_source import S
+
+        n_samp = int(nout) * self.decim
+        if n_samp % S:
+            raise ValueError(f"{self.name}: batch of {nout} output items "
+                             f"({n_samp} samples) not a multiple of the "
+                             f"fold width ({S} samples)")
+        return n_samp // S
+
+    def work(self, state, ins, params, nout):
+        from newsched_tpu.ops.pallas.fir_source import (S, fir_tone_step,
+                                                        unfold_complex)
+
+        R = self._fold_rows(nout)
+        out = fir_tone_step(state["phase"], params["dphase"],
+                            params["amplitude"], state["first"], self.taps,
+                            self.decim, R, tile=self.tile,
+                            precision=self.precision,
+                            interpret=self.interpret)
+        return ({"phase": nco.nco_advance(state["phase"], params["dphase"],
+                                          S * R),
+                 "first": jnp.zeros((), jnp.int32)},
+                {"out": unfold_complex(out)})
+
+    def init_state_sharded(self, nin, nout, mesh, axis):
+        nd = mesh.shape[axis]
+        if int(nout) % nd:
+            raise ValueError(f"{self.name}: batch {nout} does not split "
+                             f"over mesh time axis {nd}")
+        self._fold_rows(int(nout) // nd)  # per-device geometry check
+        return self.init_state(nin, nout)
+
+    def work_sharded(self, state, ins, params, nout, mesh, axis):
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from newsched_tpu.ops.pallas.fir_source import (S, fir_tone_step,
+                                                        unfold_complex)
+
+        nd = mesh.shape[axis]
+        if nd <= 1:
+            return self.work(state, ins, params, nout)
+        n_loc = int(nout) * self.decim // nd
+        R_loc = self._fold_rows(int(nout) // nd)
+
+        def fn(ph, dp, amp, first):
+            d = jax.lax.axis_index(axis)
+            ph_d = ph + dp * jnp.uint32(n_loc) * d.astype(jnp.uint32)
+            first_d = first * (d == 0).astype(jnp.int32)
+            out = fir_tone_step(ph_d, dp, amp, first_d, self.taps,
+                                self.decim, R_loc, tile=self.tile,
+                                precision=self.precision,
+                                interpret=self.interpret)
+            return unfold_complex(out)
+
+        rep = P()
+        try:
+            smapped = shard_map(fn, mesh=mesh, in_specs=(rep,) * 4,
+                                out_specs=P(axis), check_vma=False)
+        except TypeError:
+            smapped = shard_map(fn, mesh=mesh, in_specs=(rep,) * 4,
+                                out_specs=P(axis), check_rep=False)
+        y = smapped(state["phase"], params["dphase"], params["amplitude"],
+                    state["first"])
+        return ({"phase": nco.nco_advance(state["phase"], params["dphase"],
+                                          int(nout) * self.decim),
+                 "first": jnp.zeros((), jnp.int32)}, {"out": y})

@@ -24,10 +24,26 @@ from newsched_tpu.runtime.graph import Flowgraph
 
 def fir_chain(n_samples: int = 10_000_000, fs: float = 1e6, ntaps: int = 128,
               frequency: float = 123_456.0, batch_size: int | None = None,
-              sink: str = "null"):
-    """Config #0: signal_source -> FIR lowpass(ntaps) -> head -> sink."""
+              sink: str = "null", source=None, interpret: bool = False):
+    """Config #0: signal_source -> FIR lowpass(ntaps) -> head -> sink.
+
+    source="live" (round 5) runs the WHOLE chain as one gen-fused kernel:
+    the fxpt-NCO tone is generated in VMEM and FIR-filtered in the same
+    pass (blocks.analog.fir_tone_source / ops/pallas/fir_source.py) —
+    zero input HBM, stateless but for the phase counter; shards with zero
+    collectives. Matches the staged chain to f32 accuracy (same fxpt NCO
+    values, same taps)."""
     taps = firdes.low_pass(1.0, fs, 0.2 * fs, 0.05 * fs, ntaps=ntaps)
     fg = Flowgraph("fir_chain", batch_size=batch_size)
+    if source == "live":
+        src = analog.fir_tone_source(fs, taps, frequency=frequency,
+                                     interpret=interpret)
+        hd = general.head(n_samples)
+        snk = general.null_sink() if sink == "null" else general.vector_sink()
+        fg.connect(src, 0, hd, 0)
+        fg.connect(hd, 0, snk, 0)
+        return fg, {"src": src, "fir": src, "head": hd, "sink": snk,
+                    "taps": taps}
     src = analog.sig_source(fs, "complex", frequency=frequency)
     # mxu3 (3-pass bf16 split Toeplitz): 38 vs 54 us/2^21-batch measured vs
     # the HIGHEST path at ~110 dB accuracy — BASELINE.md config-0 ledger

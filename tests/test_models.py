@@ -124,3 +124,47 @@ def test_noise_planes_source_method_selection_cpu():
     with pytest.raises(ValueError, match="multiples of"):
         bad = vector_dsp.noise_planes_source(16, method="pallas")
         bad.init_state(0, 100)  # not a GROUP_ROWS multiple
+
+
+def test_fir_chain_live_matches_staged_and_shards():
+    """Round 5: config #0 as one gen-fused kernel (fir_tone_source — NCO
+    tone generated in VMEM + banded-Toeplitz FIR, no carries at all).
+    Live == staged graph to f32 accuracy; sharded == unsharded
+    bit-identically (pure phase arithmetic, zero collectives); golden
+    float64 gate on the fxpt tone ladder."""
+    from newsched_tpu.ops import nco
+    from newsched_tpu.parallel import make_mesh
+
+    fs, freq, ntaps = 1e6, 123_456.0, 128
+    n = 8192 * 4
+
+    def run(src_kind, mesh=None, batch=8192):
+        fg, b = fir_chain(n_samples=n, fs=fs, ntaps=ntaps,
+                                 frequency=freq, batch_size=batch,
+                                 sink="vector", source=src_kind,
+                                 interpret=True)
+        fg.run(mesh=mesh)
+        return np.asarray(b["sink"].data()), b["taps"]
+
+    y_live, taps = run("live")
+    y_staged, _ = run(None)
+    dp = int(nco.freq_to_dphase(freq, fs))
+    idx = np.arange(n, dtype=np.uint64)
+    ph = 2 * np.pi * (((idx * np.uint64(dp)) & np.uint64(0xFFFFFFFF)
+                       ).astype(np.float64) / 2.0 ** 32)
+    ref = sig.lfilter(np.asarray(taps, np.float64), [1.0], np.exp(1j * ph))
+
+    def snr(a, b):
+        a = np.asarray(a, np.complex128)
+        e = a - np.asarray(b, np.complex128)
+        p = np.mean(np.abs(a) ** 2)
+        m = np.mean(np.abs(e) ** 2)
+        return np.inf if m == 0 else 10 * np.log10(p / m)
+
+    assert snr(ref, y_live) > 100
+    assert snr(y_staged, y_live) > 100
+    y_mesh, _ = run("live", mesh=make_mesh(8))
+    assert snr(y_live, y_mesh) > 100
+    # batch-split invariance: two 4096-sample batches == one 8192 batch
+    y_small, _ = run("live", batch=4096)
+    assert np.array_equal(y_live, y_small)
