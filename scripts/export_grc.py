@@ -94,6 +94,7 @@ EXAMPLE_ARGS: dict[str, tuple] = {
     "wbfm_rcv_fused": (_TAPS, 100e3, 1e6),
     "wbfm_live_source": (_TAPS, 100e3, 1e6),
     "sig_source_folded": (1e6,),
+    "fir_tone_source": (1e6, _TAPS),
     "cplx_to_planes": (8,),
     "noise_planes_source": (8,),
     # yml-described blocks with static params
