@@ -442,6 +442,81 @@ def wbfm_paths(batch: int):
     return out
 
 
+def fir_paths(batch: int):
+    """Config #0 same-session staged/live A/B (round 5): sig_source ->
+    128-tap FIR as the staged graph vs the gen-fused fir_tone_source
+    kernel, both SNR-gated >= 60 dB against the float64 fxpt-tone golden.
+    Returns {"staged": sps, "live": sps}."""
+    import jax
+    import scipy.signal as sig
+
+    from newsched_tpu import models
+    from newsched_tpu.ops import firdes, nco
+    from newsched_tpu.runtime.compile import compile_flowgraph
+    from newsched_tpu.utils import cplx
+
+    fs, freq, ntaps = 1e6, 123_456.0, 128
+    B = max(batch // 1024, 1) * 1024  # sig_source pallas + fold width
+    taps = firdes.low_pass(1.0, fs, 0.2 * fs, 0.05 * fs, ntaps=ntaps)
+
+    def build(kind):
+        fg, b = models.fir_chain(n_samples=B * 1000, fs=fs, ntaps=ntaps,
+                                 frequency=freq, batch_size=B, sink="null",
+                                 source=kind)
+        fg.validate()
+        cfg = compile_flowgraph(fg, batch_size=B)
+        step = cfg.step
+        params_enc = cplx.encode(cfg.init_params())
+
+        @functools.partial(jax.jit, static_argnames=("k_steps",))
+        def run_k(params_enc, k_steps):
+            params = cplx.decode(params_enc)
+
+            def body(states, _):
+                ns, so = step(states, params)
+                (chk,) = list(so.values())
+                return ns, chk
+
+            _, sums = jax.lax.scan(body, cfg.init_states(), xs=None,
+                                   length=k_steps)
+            return sums
+
+        return lambda k: run_k(params_enc, k)
+
+    def gate(kind):
+        fg, b = models.fir_chain(n_samples=B, fs=fs, ntaps=ntaps,
+                                 frequency=freq, batch_size=B,
+                                 sink="vector", source=kind)
+        fg.run()
+        got = np.asarray(b["sink"].data())
+        dp = int(nco.freq_to_dphase(freq, fs))
+        idx = np.arange(B, dtype=np.uint64)
+        ph = 2 * np.pi * (((idx * np.uint64(dp)) & np.uint64(0xFFFFFFFF)
+                           ).astype(np.float64) / 2.0 ** 32)
+        ref = sig.lfilter(np.asarray(taps, np.float64), [1.0],
+                          np.exp(1j * ph))[: len(got)]
+        err = np.abs(ref - got.astype(np.complex128))
+        return 10 * np.log10(float(np.mean(np.abs(ref) ** 2))
+                             / float(np.mean(err ** 2)))
+
+    out = {}
+    for kind in (None, "live"):
+        name = "staged" if kind is None else "live"
+        g = gate(kind)
+        log(f"fir_chain[{name}]: SNR vs float64 golden = {g:.1f} dB "
+            f"(gate >= 60)")
+        if not (np.isfinite(g) and g >= 60):
+            log(f"fir_chain[{name}]: gate FAILED — row withheld")
+            continue
+        out[name] = _timed_two_point(build(kind),
+                                     f"fir_chain {name} flowgraph", B,
+                                     n_best=5)
+    if {"staged", "live"} <= out.keys():
+        log(f"fir_chain same-session ratio: live/staged = "
+            f"{out['live'] / out['staged']:.2f}x")
+    return out
+
+
 def bespoke_path(taps, audio_taps, xc, B):
     """The hand-tuned pipeline (parallel/channelizer.py step_planes) on the
     same data — the framework-bypass number the graph path is held to."""
@@ -558,6 +633,14 @@ def main():
         except Exception as e:
             log(f"wbfm A/B failed (non-fatal): {e!r}")
 
+    # Config #0 same-session staged/live A/B (round 5).
+    fir = {}
+    if not INTERPRET:
+        try:
+            fir = fir_paths(BATCH)
+        except Exception as e:
+            log(f"fir A/B failed (non-fatal): {e!r}")
+
     log(f"vs pinned CPU baseline: {sps_graph / PINNED_CPU_SPS:.0f}x "
         f"(live remeasure would say {sps_graph / cpu_sps:.0f}x)")
     out = {
@@ -572,6 +655,8 @@ def main():
         out["live_value"] = round(sps_live / 1e6, 2)
     for kind, sps in wbfm.items():
         out[f"wbfm_{kind}_value"] = round(sps / 1e6, 2)
+    for kind, sps in fir.items():
+        out[f"fir_{kind}_value"] = round(sps / 1e6, 2)
     print(json.dumps(out))
 
 
