@@ -282,3 +282,41 @@ def test_noise_draws2_stream_and_moments():
     k = float(((a - a.mean()) ** 4).mean() / a.var() ** 2) - 3.0
     assert abs(k - (-0.3)) < 0.05, k
     assert np.abs(a).max() <= np.sqrt(3.0 * 4) + 1e-3  # +-3.46 sigma support
+
+
+def test_fir_tone_source_compiled_vs_golden():
+    """Round 5 config-0 gen-fused kernel COMPILED on the chip: the live
+    fir chain's output gates against the float64 fxpt-tone golden, and
+    batch-splitting the stream changes nothing (stateless kernel + phase
+    counter)."""
+    import jax.numpy as jnp
+    import scipy.signal as sig
+
+    from newsched_tpu.models import fir_chain
+    from newsched_tpu.ops import nco
+
+    fs, freq, ntaps = 1e6, 123_456.0, 128
+    n = 8192 * 4
+
+    def run(batch):
+        fg, b = fir_chain(n_samples=n, fs=fs, ntaps=ntaps, frequency=freq,
+                          batch_size=batch, sink="vector", source="live")
+        fg.run()
+        return np.asarray(b["sink"].data()), b["taps"]
+
+    y, taps = run(8192)
+    y2, _ = run(4096)  # different batch/tiling: ulp-equal (>100 dB below)
+    dp = int(nco.freq_to_dphase(freq, fs))
+    idx = np.arange(n, dtype=np.uint64)
+    ph = 2 * np.pi * (((idx * np.uint64(dp)) & np.uint64(0xFFFFFFFF)
+                       ).astype(np.float64) / 2.0 ** 32)
+    ref = sig.lfilter(np.asarray(taps, np.float64), [1.0], np.exp(1j * ph))
+
+    def snr(a, b):
+        a = np.asarray(a, np.complex128)
+        e = a - np.asarray(b, np.complex128)
+        return 10 * np.log10(np.mean(np.abs(a) ** 2)
+                             / np.mean(np.abs(e) ** 2))
+
+    assert snr(ref, y) > 100
+    assert snr(y, y2) > 100
