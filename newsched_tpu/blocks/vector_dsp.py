@@ -214,14 +214,21 @@ class noise_planes_source(Block):
     (fm_noise_channelizer_source) emits the bit-identical stream.
     method="threefry" keeps the portable jax.random path (CPU tests,
     interpret mode); "auto" picks pallas exactly when the default backend
-    is a TPU and the batch is a multiple of 64 rows.
+    is a TPU and the batch is a multiple of 64 rows. method="pure"
+    (round 5, opt-in) is the portable POSITION-PURE stream
+    (ops/pallas/noise.py pure_rows — the threefry twin of the hardware
+    contract): runs on any backend, partitions cleanly under
+    fg.run(mesh=...), and is batch-size-invariant in (seed, absolute
+    group) — unlike "threefry", whose key-chaining makes the stream
+    depend on the batch split.
     """
 
     def __init__(self, nchans: int, amplitude: float = 1.0, seed: int = 0,
                  method: str = "auto", name=None):
         super().__init__(name)
-        if method not in ("auto", "pallas", "threefry"):
-            raise ValueError(f"method {method!r} not in auto/pallas/threefry")
+        if method not in ("auto", "pallas", "threefry", "pure"):
+            raise ValueError(
+                f"method {method!r} not in auto/pallas/threefry/pure")
         self.nchans = int(nchans)
         self.seed = int(seed)
         self.method = method
@@ -232,7 +239,7 @@ class noise_planes_source(Block):
         from newsched_tpu.ops.pallas.noise import GROUP_ROWS
         from newsched_tpu.runtime import meshctx
 
-        if self.method == "threefry":
+        if self.method in ("threefry", "pure"):
             return False
         if meshctx.current() is not None:
             # Under graph-mesh lowering XLA's SPMD partitioner cannot split
@@ -258,27 +265,48 @@ class noise_planes_source(Block):
         return on_tpu and nout % GROUP_ROWS == 0
 
     def init_state(self, nin, nout):
+        from newsched_tpu.ops.pallas.noise import GROUP_ROWS
+
+        if self.method == "pure":
+            if nout % GROUP_ROWS:
+                raise ValueError(
+                    f"noise_planes_source(method='pure') needs batches in "
+                    f"multiples of {GROUP_ROWS} rows, got {nout}")
+            return {"ghi": jnp.zeros((), jnp.int32),
+                    "glo": jnp.zeros((), jnp.int32)}
         if self._use_pallas(nout):
             return {"ghi": jnp.zeros((), jnp.int32),
                     "glo": jnp.zeros((), jnp.int32)}
         return {"key": jax.random.PRNGKey(self.seed)}
 
     def init_state_sharded(self, nin, nout, mesh, axis):
-        # Graph-mesh runs always take the threefry path (work() branches
-        # on the state's shape): XLA's SPMD partitioner cannot split a
-        # pallas_call. The gen-fused source blocks shard via work_sharded.
+        # Graph-mesh runs take the threefry or pure path (work() branches
+        # on the method/state shape): XLA's SPMD partitioner cannot split
+        # a pallas_call. The gen-fused source blocks shard via
+        # work_sharded; "pure" partitions cleanly (plain XLA).
         if self.method == "pallas":
             raise ValueError(
                 f"{type(self).__name__}(method='pallas') cannot run under "
-                f"fg.run(mesh=...): use method='threefry' (or 'auto') or "
-                f"a gen-fused source block")
+                f"fg.run(mesh=...): use method='threefry'/'pure' (or "
+                f"'auto') or a gen-fused source block")
+        if self.method == "pure":
+            return self.init_state(nin, nout)
         return {"key": jax.random.PRNGKey(self.seed)}
 
     def work(self, state, ins, params, nout):
+        from newsched_tpu.ops.pallas.noise import (GROUP_ROWS,
+                                                   advance_groups)
+
+        if self.method == "pure":
+            from newsched_tpu.ops.pallas.noise import pure_rows
+
+            r = pure_rows(self.seed, state["ghi"], state["glo"], nout,
+                          2 * self.nchans)
+            hi, lo = advance_groups(state["ghi"], state["glo"],
+                                    nout // GROUP_ROWS)
+            return {"ghi": hi, "glo": lo}, {"out": r * params["amplitude"]}
         if "ghi" in state:
-            from newsched_tpu.ops.pallas.noise import (GROUP_ROWS,
-                                                       advance_groups,
-                                                       gaussian_rows)
+            from newsched_tpu.ops.pallas.noise import gaussian_rows
 
             r = gaussian_rows(state["ghi"], state["glo"], n_rows=nout,
                               width=2 * self.nchans, seed=self.seed)

@@ -297,3 +297,29 @@ def test_live_fm_sharded_geometry_errors():
     mesh = make_mesh(8)
     with pytest.raises(ValueError, match="multiple"):
         src.init_state_sharded(0, 36, mesh, "t")  # 72 rows: 9/dev, not 64x
+
+
+def test_noise_planes_source_pure_batch_invariant_and_shards():
+    """Round 5: noise_planes_source(method='pure') — the position-pure
+    portable stream: batch-size-invariant (unlike threefry key-chaining)
+    and partitions cleanly under fg.run(mesh=...)."""
+    from newsched_tpu.blocks import vector_dsp
+
+    M = 16
+
+    def run(batch_rows, mesh=None):
+        src = vector_dsp.noise_planes_source(M, amplitude=0.5, seed=9,
+                                             method="pure")
+        hd = general.head(256, dtype="rf32", vlen=(2 * M,))
+        snk = general.vector_sink(dtype="rf32", vlen=(2 * M,))
+        fg = Flowgraph(batch_size=batch_rows)
+        fg.connect(src, 0, hd, 0)
+        fg.connect(hd, 0, snk, 0)
+        fg.run(mesh=mesh)
+        return np.asarray(snk.data())
+
+    a = run(256)
+    b = run(64)   # different batch split: SAME stream (position-pure)
+    assert np.array_equal(a, b)
+    c = run(256, mesh=make_mesh(8))
+    assert np.array_equal(a, c)
